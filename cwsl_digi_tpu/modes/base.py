@@ -1,0 +1,71 @@
+"""Mode decoder protocol and registry.
+
+Replaces the reference's per-mode external-process invocation table
+(source/DecoderPool.hpp:631-659,1005-1046) with in-process decoder objects,
+each wrapping a batched JAX decode program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Protocol
+
+import numpy as np
+
+from cwsl_digi_tpu.constants import Mode
+
+
+@dataclasses.dataclass
+class DecodeResult:
+    """One decoded signal in one capture window.
+
+    Mirrors the information the reference parses out of jt9 stdout lines
+    (source/OutputHandler.cpp:505-621): SNR, dt, audio frequency, message.
+    """
+
+    message: str
+    snr_db: float
+    dt_s: float
+    freq_hz: float        # audio frequency within the channel passband
+    score: float = 0.0    # sync/decoder confidence metric
+    mode: Mode = Mode.FT8
+    payload_bits: np.ndarray | None = None
+
+
+class ModeDecoder(Protocol):
+    mode: Mode
+
+    def decode(self, audio: np.ndarray) -> list[list[DecodeResult]]:
+        """audio: [batch, n_samples] at 12 kHz -> per-window decode lists."""
+        ...
+
+
+_REGISTRY: dict[Mode, "ModeDecoder"] = {}
+
+
+def register_decoder(mode: Mode, decoder: "ModeDecoder") -> None:
+    _REGISTRY[mode] = decoder
+
+
+def get_decoder(mode: Mode | str, **kwargs) -> "ModeDecoder":
+    """Get (lazily constructing) the decoder for a mode."""
+    mode = Mode(mode)
+    if mode not in _REGISTRY:
+        _REGISTRY[mode] = _construct(mode, **kwargs)
+    return _REGISTRY[mode]
+
+
+def _construct(mode: Mode, **kwargs):
+    if mode in (Mode.FT8, Mode.JS8):
+        from cwsl_digi_tpu.modes.ft8 import FT8Decoder
+
+        return FT8Decoder(**kwargs)
+    if mode == Mode.FT4:
+        from cwsl_digi_tpu.modes.ft4 import FT4Decoder
+
+        return FT4Decoder(**kwargs)
+    if mode == Mode.WSPR:
+        from cwsl_digi_tpu.modes.wspr import WSPRDecoder
+
+        return WSPRDecoder(**kwargs)
+    raise NotImplementedError(f"no native decoder yet for {mode}")

@@ -1,0 +1,75 @@
+"""FT8 end-to-end: encode -> GFSK synth -> batched decode round-trips."""
+
+import numpy as np
+import pytest
+
+from cwsl_digi_tpu.modes import ft8
+from cwsl_digi_tpu.modes.gfsk import add_noise_at_snr
+
+
+@pytest.fixture(scope="module")
+def decoder():
+    return ft8.FT8Decoder(top_k=64, bp_iters=25)
+
+
+def test_encode_structure():
+    tones = ft8.encode_message("CQ W2AXR FN13")
+    assert tones.shape == (79,)
+    np.testing.assert_array_equal(tones[0:7], ft8.COSTAS)
+    np.testing.assert_array_equal(tones[36:43], ft8.COSTAS)
+    np.testing.assert_array_equal(tones[72:79], ft8.COSTAS)
+    assert tones.min() >= 0 and tones.max() <= 7
+
+
+def test_decode_clean_signal(decoder):
+    text = "CQ W2AXR FN13"
+    audio = ft8.synthesize(text, f0_hz=1500.0)
+    results = decoder.decode(audio)[0]
+    assert len(results) >= 1
+    best = results[0]
+    assert best.message == text
+    assert best.freq_hz == pytest.approx(1500.0, abs=4.0)
+    assert best.dt_s == pytest.approx(0.0, abs=0.05)
+
+
+def test_decode_multiple_signals_one_window(decoder):
+    texts = ["CQ W2AXR FN13", "K1ABC W9XYZ -15", "CQ DX VE3XYZ EN93"]
+    freqs = [600.0, 1400.0, 2200.0]
+    audio = sum(ft8.synthesize(t, f) for t, f in zip(texts, freqs))
+    rng = np.random.default_rng(5)
+    audio = audio + 0.05 * rng.standard_normal(len(audio))
+    results = decoder.decode(audio)[0]
+    got = {r.message for r in results}
+    assert set(texts) <= got
+
+
+def test_decode_batch_of_windows(decoder):
+    texts = ["CQ W2AXR FN13", "K1ABC W9XYZ RR73"]
+    wins = np.stack([ft8.synthesize(t, 1000.0 + 200 * i) for i, t in enumerate(texts)])
+    out = decoder.decode(wins)
+    assert [r[0].message for r in out] == texts
+
+
+def test_decode_at_negative_snr(decoder):
+    """Decode at -10 dB SNR (2.5 kHz ref) — well into weak-signal territory."""
+    text = "K1ABC W9XYZ R-08"
+    rng = np.random.default_rng(7)
+    clean = ft8.synthesize(text, f0_hz=1700.0)
+    audio = add_noise_at_snr(clean, -10.0, ft8.WAVE_SR, rng)
+    results = decoder.decode(audio)[0]
+    assert any(r.message == text for r in results)
+
+
+def test_decode_with_time_offset(decoder):
+    text = "CQ W2AXR FN13"
+    audio = ft8.synthesize(text, f0_hz=1200.0, start_s=1.3)
+    results = decoder.decode(audio)[0]
+    assert results and results[0].message == text
+    assert results[0].dt_s == pytest.approx(0.8, abs=0.05)
+
+
+def test_no_false_decodes_on_noise(decoder):
+    rng = np.random.default_rng(11)
+    noise = rng.standard_normal(int(ft8.T_R * ft8.WAVE_SR)).astype(np.float32)
+    results = decoder.decode(noise)[0]
+    assert results == []

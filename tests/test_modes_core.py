@@ -1,0 +1,108 @@
+"""Tests for the mode-codec building blocks: CRC, LDPC, 77-bit messages."""
+
+import numpy as np
+import pytest
+
+from cwsl_digi_tpu.modes import message77
+from cwsl_digi_tpu.modes.crc import check_ft8_crc, ft8_crc, ft8_crc_matrix
+from cwsl_digi_tpu.modes.ldpc import ft8_code, fst4_code, get_bp_decoder
+
+
+def test_crc_linearity_and_matrix():
+    rng = np.random.default_rng(0)
+    m = ft8_crc_matrix()
+    for _ in range(10):
+        p = rng.integers(0, 2, 77).astype(np.uint8)
+        assert np.all((p @ m) % 2 == ft8_crc(p))
+    p = rng.integers(0, 2, 77).astype(np.uint8)
+    word = np.concatenate([p, ft8_crc(p)])
+    assert check_ft8_crc(word)
+    word[5] ^= 1
+    assert not check_ft8_crc(word)
+
+
+def test_ldpc_code_properties():
+    code = ft8_code()
+    assert (code.n, code.k) == (174, 91)
+    assert code.h.shape == (83, 174)
+    assert np.all(code.h.sum(axis=0) == 3)  # column weight 3
+    info = np.random.default_rng(1).integers(0, 2, 91).astype(np.uint8)
+    cw = code.encode(info)
+    assert np.all(code.syndrome(cw) == 0)
+    cw[0] ^= 1
+    assert np.any(code.syndrome(cw) != 0)
+    c2 = fst4_code()
+    assert (c2.n, c2.k) == (240, 101)
+
+
+def test_ldpc_bp_decodes_noisy_codewords():
+    rng = np.random.default_rng(2)
+    code = ft8_code()
+    bp = get_bp_decoder("ft8", iters=30)
+    batch = 16
+    infos = rng.integers(0, 2, (batch, 91)).astype(np.uint8)
+    cws = np.stack([code.encode(i) for i in infos])
+    # BPSK-ish LLRs at moderate noise: sign flips on ~4 bits per word
+    llr = (1.0 - 2.0 * cws) * 4.0
+    llr += rng.standard_normal(llr.shape) * 2.0
+    hard, ok = bp.decode(np.asarray(llr, np.float32))
+    hard, ok = np.asarray(hard), np.asarray(ok)
+    n_ok = 0
+    for i in range(batch):
+        if ok[i]:
+            assert np.all(hard[i] == cws[i])
+            n_ok += 1
+    assert n_ok >= batch - 2  # min-sum should fix nearly all at this SNR
+
+
+def test_ldpc_bp_rejects_noise():
+    rng = np.random.default_rng(3)
+    bp = get_bp_decoder("ft8", iters=20)
+    llr = rng.standard_normal((8, 174)).astype(np.float32) * 3.0
+    _, ok = bp.decode(llr)
+    assert not np.any(np.asarray(ok))
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "CQ W2AXR FN13",
+        "CQ DX K1ABC FN42",
+        "W2AXR K1ABC FN42",
+        "K1ABC W9XYZ -15",
+        "K1ABC W9XYZ R-08",
+        "K1ABC W9XYZ RRR",
+        "K1ABC W9XYZ RR73",
+        "K1ABC W9XYZ 73",
+        "CQ 021 K1ABC FN42",
+        "W2AXR K1ABC",
+    ],
+)
+def test_message77_roundtrip(text):
+    bits = message77.pack77(text)
+    assert bits.shape == (77,)
+    msg = message77.unpack77(bits)
+    assert msg.text == text
+
+
+def test_message77_free_text():
+    bits = message77.pack77("TNX BOB 73 GL")
+    msg = message77.unpack77(bits)
+    assert msg.is_free_text
+    assert msg.text == "TNX BOB 73 GL"
+
+
+def test_message77_call_packing():
+    for call in ["W2AXR", "K1ABC", "VE3XYZ", "2E0ABC", "W1AW"]:
+        c = message77.pack_call28(call)
+        assert message77.unpack_call28(c) == call
+    # hashed nonstandard call
+    c = message77.pack_call28("PJ4/K1ABC")
+    assert message77.unpack_call28(c) == "<PJ4/K1ABC>"
+
+
+def test_message77_grid_fields():
+    m = message77.unpack77(message77.pack77("CQ W2AXR FN13"))
+    assert m.is_cq and m.grid == "FN13" and m.call2 == "W2AXR"
+    m = message77.unpack77(message77.pack77("K1ABC W9XYZ -15"))
+    assert m.report == "-15"
