@@ -257,27 +257,34 @@ class FT8Decoder:
         if audio.ndim == 1:
             audio = audio[None, :]
         out = self.decode_arrays(audio)
-        results: list[list[DecodeResult]] = []
-        for wi in range(audio.shape[0]):
-            seen: dict[bytes, DecodeResult] = {}
-            for k in range(self.cfg.top_k):
-                if not out["valid"][wi, k]:
-                    continue
-                payload = out["payload"][wi, k, :77]
-                key = np.packbits(payload).tobytes()
-                dt = out["t0_hop"][wi, k] * HOP / WAVE_SR - SIGNAL_START_S
-                freq = out["f0_bin"][wi, k] * BIN_HZ
-                r = DecodeResult(
-                    message=message77.unpack77(payload).text,
-                    snr_db=round(float(out["snr"][wi, k]), 1),
-                    dt_s=round(float(dt), 2),
-                    freq_hz=round(float(freq), 1),
-                    score=float(out["score"][wi, k]),
-                    mode=self.mode,
-                    payload_bits=payload.copy(),
-                )
-                prev = seen.get(key)
-                if prev is None or r.score > prev.score:
-                    seen[key] = r
-            results.append(sorted(seen.values(), key=lambda r: -r.score))
-        return results
+        return results_from_arrays(out, mode=self.mode)
+
+
+def results_from_arrays(out: dict[str, np.ndarray],
+                        mode: Mode = Mode.FT8) -> list[list[DecodeResult]]:
+    """Host-side: validated candidate arrays -> deduped DecodeResult lists."""
+    n_windows, top_k = out["valid"].shape
+    results: list[list[DecodeResult]] = []
+    for wi in range(n_windows):
+        seen: dict[bytes, DecodeResult] = {}
+        for k in range(top_k):
+            if not out["valid"][wi, k]:
+                continue
+            payload = np.asarray(out["payload"][wi, k, :77])
+            key = np.packbits(payload).tobytes()
+            dt = out["t0_hop"][wi, k] * HOP / WAVE_SR - SIGNAL_START_S
+            freq = out["f0_bin"][wi, k] * BIN_HZ
+            r = DecodeResult(
+                message=message77.unpack77(payload).text,
+                snr_db=round(float(out["snr"][wi, k]), 1),
+                dt_s=round(float(dt), 2),
+                freq_hz=round(float(freq), 1),
+                score=float(out["score"][wi, k]),
+                mode=mode,
+                payload_bits=payload.copy(),
+            )
+            prev = seen.get(key)
+            if prev is None or r.score > prev.score:
+                seen[key] = r
+        results.append(sorted(seen.values(), key=lambda r: -r.score))
+    return results

@@ -1,0 +1,112 @@
+"""The sharded skim step: wideband IQ -> channelize -> decode, over a mesh.
+
+This is the production device program: one T/R capture window of wideband IQ
+in, per-channel decode candidates out.  Channel-parallelism (the reference's
+one-thread-per-Instance, SURVEY.md §2.3) becomes the mesh axis ``ch``:
+
+- the channelizer's per-channel tables (NCO tone bases, FIR state) and the
+  audio it produces are sharded on ``ch``;
+- the FT8 decode program runs with the window batch = channel axis, also
+  sharded on ``ch``;
+- the wideband IQ block is replicated (every chip mixes the channels it
+  owns from the same IQ) — the natural layout when channels >> chips, since
+  IQ-per-window is small and XLA broadcasts it once over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cwsl_digi_tpu.constants import WAVE_SR
+from cwsl_digi_tpu.dsp.channelizer import BatchChannelizer
+from cwsl_digi_tpu.modes import ft8
+
+
+class ShardedSkimStep:
+    """Channel-sharded channelize+decode for one receiver's channel bank."""
+
+    def __init__(
+        self,
+        fs: int,
+        freqs_hz,
+        mesh: Mesh,
+        axis: str = "ch",
+        decoder: ft8.FT8Decoder | None = None,
+    ) -> None:
+        self.mesh = mesh
+        self.axis = axis
+        self.chan = BatchChannelizer(fs, freqs_hz)
+        self.dec = decoder or ft8.FT8Decoder()
+        self.n_channels = len(np.atleast_1d(freqs_hz))
+
+    def _sharding(self):
+        return NamedSharding(self.mesh, P(self.axis))
+
+    def step(self, iq: np.ndarray) -> dict[str, np.ndarray]:
+        """One capture window of wideband IQ -> decode outputs per channel."""
+        iq = np.asarray(iq)
+        sh = self._sharding()
+        rep = NamedSharding(self.mesh, P())
+
+        chan = self.chan
+        t = iq.shape[0]
+        pad = (-t) % chan._sub
+        iq_re = np.pad(iq.real.astype(np.float32), (0, pad))
+        iq_im = np.pad(iq.imag.astype(np.float32), (0, pad))
+        rot_re, rot_im, step_re, step_im = chan._rot_powers(len(iq_re) // chan._sub)
+        n_audio = t // chan.spec.block_size
+
+        dec = self.dec
+        out = _skim_program(
+            chan.spec, dec.cfg, (n_audio,), self.mesh, self.axis,
+            jax.device_put(jnp.asarray(iq_re), rep),
+            jax.device_put(jnp.asarray(iq_im), rep),
+            jax.device_put(chan.tone_re, sh),
+            jax.device_put(chan.tone_im, sh),
+            rot_re, rot_im, step_re, step_im,
+            chan.segs,
+            jax.device_put(chan.init_state(), {
+                "hist_re": sh, "hist_im": sh,
+                "phasor_re": sh, "phasor_im": sh,
+                "out_phase": rep,
+            }),
+            dec._crc_mat, dec._bitmaps, dec._window,
+        )
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def decode_window(self, iq: np.ndarray) -> list[list[ft8.DecodeResult]]:
+        """Full host-level result: channelize + decode + unpack messages.
+
+        Returns one DecodeResult list per configured channel.
+        """
+        out = self.step(iq)
+        return ft8.results_from_arrays(out)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _skim_program(
+    chan_spec, dec_cfg, shapes, mesh, axis,
+    iq_re, iq_im,
+    tone_re, tone_im, rot_re, rot_im, step_re, step_im, segs,
+    chan_state,
+    crc_mat, bitmaps, window,
+):
+    from cwsl_digi_tpu.dsp.channelizer import _channelize_block
+    from cwsl_digi_tpu.modes.ft8 import _decode_program
+
+    (n_audio,) = shapes
+    sh = NamedSharding(mesh, P(axis))
+
+    audio, _ = _channelize_block(
+        chan_spec, iq_re, iq_im, tone_re, tone_im,
+        rot_re, rot_im, step_re, step_im, segs, chan_state,
+    )
+    audio = jax.lax.with_sharding_constraint(audio[:, :n_audio], sh)
+    out = _decode_program(dec_cfg, (n_audio,), audio, crc_mat, bitmaps, window)
+    out = {k: jax.lax.with_sharding_constraint(v, sh) for k, v in out.items()}
+    return out
