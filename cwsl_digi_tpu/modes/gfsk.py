@@ -67,6 +67,34 @@ def gfsk_modulate(
     return sig
 
 
+def gfsk_modulate_iq(
+    tones: np.ndarray,
+    f0_hz: float,
+    sps: int,
+    sample_rate: int,
+    tone_spacing_hz: float,
+    bt: float = 2.0,
+) -> np.ndarray:
+    """Complex (analytic) GFSK burst — for IQ-domain synthesis/subtraction.
+
+    Same instantaneous-frequency trajectory as :func:`gfsk_modulate` but
+    returns ``exp(j*phase)`` so it can be placed anywhere in a wideband IQ
+    stream (f0 may be negative).
+    """
+    tones = np.asarray(tones, dtype=np.float64)
+    n = len(tones) * sps
+    pulse = gaussian_frequency_pulse(sps, bt)
+    dphi = np.zeros(n + 2 * sps)
+    hmod = tone_spacing_hz / sample_rate
+    for i, tone in enumerate(tones):
+        dphi[i * sps : i * sps + 3 * sps] += 2.0 * np.pi * hmod * tone * pulse
+    dphi[: 2 * sps] += 2.0 * np.pi * hmod * tones[0] * pulse[sps:]
+    dphi[-2 * sps :] += 2.0 * np.pi * hmod * tones[-1] * pulse[: 2 * sps]
+    dphi = dphi[sps : sps + n] + 2.0 * np.pi * f0_hz / sample_rate
+    phase = np.cumsum(dphi) - dphi[0]
+    return np.exp(1j * phase)
+
+
 def fsk_modulate(
     tones: np.ndarray,
     f0_hz: float,

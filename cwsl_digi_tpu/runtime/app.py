@@ -1,0 +1,233 @@
+"""Application driver: config -> receivers -> pool -> reporters -> supervise.
+
+The reference's main() (source/CWSL_DIGI.cpp:523-1257): parse config, build
+objects, launch cadence threads, then a 1 s supervision loop that reaps dead
+receivers, re-attaches FINISHED decoders (band rotation support,
+CHANGELOG.txt:23) and emits the RBN status datagram every 60 s
+(:1204-1253).  Run with::
+
+    python -m cwsl_digi_tpu.runtime.app --configfile config.ini \
+        [section.key=value ...]
+
+Source selection: each decoder line's ``sharedmem`` field picks a capture
+source; sources are configured in the INI as ``[radio] source<N>=spec``
+(spec grammar: sdr/source.open_source).  With no sources configured the app
+probes CWSL-style POSIX shared memories (sdr/shm.find_band), mirroring the
+reference's discovery (source/CWSL_Utils.hpp:27-53).
+"""
+
+from __future__ import annotations
+
+import argparse
+import signal
+import sys
+import time
+
+from cwsl_digi_tpu.config import Config, load_config
+from cwsl_digi_tpu.constants import Mode, get_rx_period
+from cwsl_digi_tpu.report.rbn import DecoderEntry, RBNHandler
+from cwsl_digi_tpu.report.pskreporter import PSKReporter
+from cwsl_digi_tpu.report.wsprnet import WSPRNet
+from cwsl_digi_tpu.report.spot import SpotHandler
+from cwsl_digi_tpu.runtime.decoderpool import DecoderPool
+from cwsl_digi_tpu.runtime.receiver import Receiver, Status
+from cwsl_digi_tpu.sdr.source import open_source
+from cwsl_digi_tpu.stats import Stats
+from cwsl_digi_tpu.utils.logging import LogLevel, ScreenPrinter
+from cwsl_digi_tpu.utils.timeutils import next_period_boundary
+from cwsl_digi_tpu.version import PROGRAM_NAME, __version__
+
+
+class App:
+    def __init__(self, cfg: Config, max_runtime_s: float | None = None) -> None:
+        self.cfg = cfg
+        self.max_runtime_s = max_runtime_s
+        self.printer = ScreenPrinter(
+            level=LogLevel(int(cfg.get("logging", "loglevel"))),
+            logfile=cfg.get("logging", "logfile") or None,
+            immediate=bool(cfg.get("logging", "logimmediately")),
+        )
+        self._terminate = False
+        self.receivers: dict[str, Receiver] = {}
+        self.stats = Stats(num_decoders=len(cfg.decoders))
+
+        reporters = []
+        self.rbn = None
+        if cfg.get("reporting", "pskreporter"):
+            reporters.append(PSKReporter(
+                cfg.get("operator", "callsign"),
+                cfg.get("operator", "gridsquare"),
+                log=self.printer.debug,
+            ))
+        if cfg.get("reporting", "aggregator"):
+            self.rbn = RBNHandler(
+                cfg.get("operator", "callsign"),
+                cfg.get("operator", "gridsquare"),
+                ip=cfg.get("reporting", "aggregatorip"),
+                port=int(cfg.get("reporting", "aggregatorport")),
+            )
+            reporters.append(self.rbn)
+        if cfg.get("reporting", "wsprnet"):
+            reporters.append(WSPRNet(
+                cfg.get("operator", "gridsquare"),
+                cfg.get("operator", "callsign"),
+                log=self.printer.warn,
+            ))
+
+        self.spots = SpotHandler(
+            reporters=reporters,
+            stats=self.stats,
+            ignored_calls=self._load_ignored(),
+            decodes_file=cfg.get("logging", "decodesfile") or None,
+            bad_msg_log=cfg.get("logging", "badmsglog") or None,
+            log=self.printer.info,
+        )
+        self.pool = DecoderPool(
+            num_workers=cfg.num_decode_slots(),
+            max_long_workers=max(1, cfg.max_long_slots()),
+            max_data_age_factor=float(cfg.get("wsjtx", "maxdataage")),
+            on_result=self._on_result,
+            log=self.printer.debug,
+        )
+
+    def _load_ignored(self) -> list[str]:
+        path = self.cfg.get("logging", "ignoredcallsignsfile")
+        if not path:
+            return []
+        try:
+            return [l.strip() for l in open(path) if l.strip()]
+        except OSError:
+            return []
+
+    def _on_result(self, job, ci, res):
+        self.spots.handle(
+            res,
+            base_freq_hz=job.base_freqs[ci],
+            decoder_index=job.decoder_indices[ci],
+            epoch_time=job.epoch_time,
+        )
+
+    # -- construction -------------------------------------------------------
+
+    def _source_spec_for(self, smnum: int) -> str | None:
+        key = f"source{smnum}" if smnum >= 0 else "source"
+        try:
+            return self.cfg.get("radio", key)
+        except KeyError:
+            return None
+
+    def setup_receivers(self, utc_anchor: float) -> None:
+        """Group decoder lines by capture source and build Receivers
+        (reference: setupDecoder loop, source/CWSL_DIGI.cpp:1181-1188)."""
+        groups: dict[str, list[int]] = {}
+        for i, line in enumerate(self.cfg.decoders):
+            spec = self._source_spec_for(line.smnum)
+            if spec is None:
+                from cwsl_digi_tpu.sdr.shm import find_band
+
+                name = find_band(line.calibrated_freq, line.smnum)
+                if name is None:
+                    self.printer.warn(
+                        f"no capture source covers {line.freq} Hz — skipped "
+                        f"(will retry, reference behavior CWSL_DIGI.cpp:109-113)"
+                    )
+                    continue
+                spec = f"shm:{name}"
+            groups.setdefault(spec, []).append(i)
+
+        for spec, idxs in groups.items():
+            if spec in self.receivers:
+                continue
+            lines = [self.cfg.decoders[i] for i in idxs]
+            try:
+                src = open_source(spec)
+            except Exception as e:
+                self.printer.err(f"cannot open source {spec}: {e}")
+                continue
+            rx = Receiver(src, lines, self.pool, utc_anchor=utc_anchor,
+                          log=self.printer.print, line_indices=idxs)
+            rx.init()
+            self.receivers[spec] = rx
+            self.printer.info(
+                f"receiver up: {spec} ({len(lines)} decoders, "
+                f"SR {src.sample_rate}, LO {src.lo_freq})"
+            )
+
+    # -- run ----------------------------------------------------------------
+
+    def run(self) -> None:
+        self.printer.info(f"{PROGRAM_NAME} {__version__} starting")
+        self.pool.init()
+        # anchor stream time at the next UTC boundary of the fastest period
+        anchor = next_period_boundary(15.0)
+        self.setup_receivers(utc_anchor=anchor)
+
+        signal.signal(signal.SIGINT, lambda *_: setattr(self, "_terminate", True))
+        started = time.monotonic()
+        last_status = 0.0
+        last_stats = 0.0
+        stats_interval = float(self.cfg.get("logging", "statsreportinginterval"))
+        while not self._terminate:
+            time.sleep(1.0)
+            now = time.monotonic()
+            if self.max_runtime_s and now - started > self.max_runtime_s:
+                break
+            # reap stopped receivers (reference: CWSL_DIGI.cpp:1206-1216)
+            for spec, rx in list(self.receivers.items()):
+                if rx.get_status() == Status.STOPPED:
+                    self.printer.warn(f"receiver {spec} stopped — reaping")
+                    rx.terminate()
+                    del self.receivers[spec]
+            # re-attach finished/unattached decoders every ~10 s (:1217-1226)
+            if int(now - started) % 10 == 0:
+                self.setup_receivers(utc_anchor=next_period_boundary(15.0))
+            # RBN status every 60 s (:1230-1252)
+            if self.rbn is not None and now - last_status >= 60.0:
+                last_status = now
+                entries = [
+                    DecoderEntry(line.mode.value, line.freq)
+                    for line in self.cfg.decoders
+                ]
+                self.rbn.handle_status(
+                    int(self.cfg.get("wsjtx", "highestdecodefreq")), entries
+                )
+            if stats_interval and now - last_stats >= stats_interval:
+                last_stats = now
+                labels = [f"{l.freq} {l.mode.value}" for l in self.cfg.decoders]
+                self.printer.info("\n" + self.stats.table(labels))
+        self.cleanup()
+
+    def cleanup(self) -> None:
+        """Reference teardown order (source/CWSL_DIGI.cpp:454-468):
+        receivers/decoders -> pool -> reporters -> printer last."""
+        for rx in self.receivers.values():
+            rx.terminate()
+        self.pool.drain(timeout=10.0)
+        self.pool.terminate()
+        for rep in self.spots.reporters:
+            flush = getattr(rep, "flush", None)
+            if flush:
+                flush()
+            rep.terminate()
+        self.printer.info("shutdown complete")
+        self.printer.terminate()
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog=PROGRAM_NAME)
+    ap.add_argument("--configfile", default=None)
+    ap.add_argument("--max-runtime", type=float, default=None,
+                    help="exit after N seconds (testing)")
+    ap.add_argument("overrides", nargs="*", help="section.key=value")
+    args = ap.parse_args(argv)
+    cfg = load_config(args.configfile, args.overrides)
+    if not cfg.decoders:
+        print("no decoders configured", file=sys.stderr)
+        return 2
+    app = App(cfg, max_runtime_s=args.max_runtime)
+    app.run()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

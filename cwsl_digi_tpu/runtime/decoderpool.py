@@ -1,0 +1,174 @@
+"""Decode scheduling: batched capture windows dispatched to device programs.
+
+Reference parity (source/DecoderPool.hpp): N worker threads over two queues —
+``toDecode`` and ``toDecodeLong`` for WSPR/FST4W-class windows so long
+decodes never starve the 15 s FT8 cadence (:339-354,1179-1180); only
+``max_long_workers`` may take long items (:259-264); a long item picked up
+by a short-only worker is re-queued (:379-381); stale items are dropped when
+``age - T_R > max_data_age`` (default 10x T_R, hard cap 600 s,
+:357-377,1209).
+
+The decisive difference from the reference: a job here is a *batch* of
+channels for one (mode, window), decoded by ONE device program call — not
+one child process per channel window.  Workers are therefore few (they
+pipeline host/device work), and the pool-size heuristics of the reference
+(numJT9Instances, source/CWSL_DIGI.cpp:856-885) size the number of in-flight
+device batches instead of OS processes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from cwsl_digi_tpu.constants import LONG_MODES, Mode, get_rx_period
+from cwsl_digi_tpu.modes.base import DecodeResult, get_decoder
+
+MAX_AGE_CAP_S = 600.0     # reference hard cap (DecoderPool.hpp:1209)
+
+
+@dataclasses.dataclass
+class DecodeJob:
+    """One (mode, capture-window) batch across channels.
+
+    The analogue of ItemToDecode (source/DecoderPool.hpp:174-210), widened
+    to carry all channels of the mode at once.
+    """
+
+    mode: Mode
+    audio: np.ndarray              # [C, N] float32 at 12 kHz
+    base_freqs: list[int]          # per-channel dial frequency
+    decoder_indices: list[int]     # per-channel global decoder index
+    epoch_time: int                # window start (UTC *stream* time)
+    wspr_callsigns: list[str] | None = None
+    enqueued_at: float = 0.0       # wall clock, stamped by DecoderPool.push
+
+    @property
+    def trperiod(self) -> float:
+        return get_rx_period(self.mode)
+
+
+class DecoderPool:
+    """Worker pool dispatching DecodeJobs to the native mode decoders."""
+
+    def __init__(
+        self,
+        num_workers: int = 2,
+        max_long_workers: int = 1,
+        max_data_age_factor: float = 10.0,
+        on_result: Optional[Callable[[DecodeJob, int, DecodeResult], None]] = None,
+        log: Callable[[str], None] | None = None,
+        decoder_factory: Callable[[Mode], object] = get_decoder,
+    ) -> None:
+        self.num_workers = max(1, num_workers)
+        self.max_long_workers = min(max_long_workers, self.num_workers)
+        self.max_data_age_factor = max_data_age_factor
+        self.on_result = on_result or (lambda job, ci, res: None)
+        self.log = log or (lambda s: None)
+        self._decoder_factory = decoder_factory
+        self._short: "queue.Queue[DecodeJob]" = queue.Queue()
+        self._long: "queue.Queue[DecodeJob]" = queue.Queue()
+        self._terminate = threading.Event()
+        self._threads: list[threading.Thread] = []
+        self.count_decoded_windows = 0
+        self.count_dropped_stale = 0
+
+    # -- reference API ------------------------------------------------------
+
+    def init(self) -> None:
+        """Spawn workers (reference: DecoderPool::init,
+        DecoderPool.hpp:255-268)."""
+        for k in range(self.num_workers):
+            allow_long = k < self.max_long_workers
+            t = threading.Thread(
+                target=self._work, args=(k, allow_long),
+                name=f"decoder-{k}", daemon=True,
+            )
+            t.start()
+            self._threads.append(t)
+
+    def push(self, job: DecodeJob) -> None:
+        job.enqueued_at = time.time()
+        if job.mode in LONG_MODES:
+            self._long.put(job)
+        else:
+            self._short.put(job)
+
+    def terminate(self) -> None:
+        self._terminate.set()
+        for t in self._threads:
+            t.join(timeout=2.0)
+        self._threads = []
+
+    def drain(self, timeout: float = 30.0) -> None:
+        """Wait for queues to empty (tests/shutdown)."""
+        deadline = time.monotonic() + timeout
+        while (not self._short.empty() or not self._long.empty()) \
+                and time.monotonic() < deadline:
+            time.sleep(0.02)
+
+    def pending(self) -> int:
+        return self._short.qsize() + self._long.qsize()
+
+    # -- internals ----------------------------------------------------------
+
+    def _max_age(self, trperiod: float) -> float:
+        return min(self.max_data_age_factor * trperiod, MAX_AGE_CAP_S)
+
+    def _work(self, index: int, allow_long: bool) -> None:
+        while not self._terminate.is_set():
+            job = self._take(allow_long)
+            if job is None:
+                continue
+            # staleness shedding (reference: DecoderPool.hpp:357-377).
+            # The reference compares wall clock vs the window's epoch; for a
+            # live stream `epoch ~= enqueue - T_R`, so its `age - T_R >
+            # maxAge` policy is queue-wait shedding.  Keying on the enqueue
+            # stamp keeps it correct for replayed streams too.
+            wait = time.time() - job.enqueued_at
+            if wait > self._max_age(job.trperiod):
+                self.count_dropped_stale += job.audio.shape[0]
+                self.log(f"dropping stale {job.mode.value} window "
+                         f"(queued {wait:.0f} s)")
+                continue
+            self._decode(job)
+
+    def _take(self, allow_long: bool) -> Optional[DecodeJob]:
+        # long-allowed workers prefer the long queue (reference :341-354)
+        if allow_long:
+            try:
+                return self._long.get(timeout=0.05)
+            except queue.Empty:
+                pass
+        try:
+            job = self._short.get(timeout=0.2)
+        except queue.Empty:
+            return None
+        if job.mode in LONG_MODES and not allow_long:
+            # mis-routed long job at a short-only worker -> requeue (:379-381)
+            self._long.put(job)
+            return None
+        return job
+
+    def _decode(self, job: DecodeJob) -> None:
+        t0 = time.monotonic()
+        decoder = self._decoder_factory(job.mode)
+        try:
+            per_channel = decoder.decode(job.audio)
+        except Exception as e:  # decoder crash must not kill the worker
+            self.log(f"### decoder error for {job.mode.value}: {e!r}")
+            return
+        n = 0
+        for ci, results in enumerate(per_channel):
+            for res in results:
+                self.on_result(job, ci, res)
+                n += 1
+        self.count_decoded_windows += job.audio.shape[0]
+        dt = time.monotonic() - t0
+        self.log(f"decoded {job.mode.value} batch of {job.audio.shape[0]} ch "
+                 f"in {dt:.2f} s -> {n} decodes")

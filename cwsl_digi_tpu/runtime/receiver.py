@@ -1,0 +1,179 @@
+"""Receiver: one IQ source -> batched channelizer -> windowed decode jobs.
+
+Replaces the reference's Receiver thread + one Instance thread per channel
+(source/Receiver.hpp:52-302, source/Instance.cpp:30-344): a single thread
+streams IQ blocks through the BatchChannelizer (all channels at once) and
+frames per-mode capture windows by *stream time* (sample counting), pushing
+one batched DecodeJob per (mode, window) to the pool.
+
+Window framing notes:
+- the reference stamps windows with wall-clock UTC and swaps per-channel
+  double buffers on cadence ticks (Instance.cpp:203-251); with stream-time
+  framing the k-th window covers audio samples [k*T_R*12000, (k+1)*...),
+  and the UTC stamp is ``utc_anchor + k*T_R`` — identical for live sources
+  (anchored at a UTC boundary) and deterministic for replay;
+- the channelizer state is NOT reset between windows (phase-continuous
+  streaming); the reference resets SSBD phase per window (Instance.cpp:251)
+  only because its decoders are external — decode results are phase
+  invariant.
+"""
+
+from __future__ import annotations
+
+import enum
+import threading
+from typing import Callable
+
+import numpy as np
+
+from cwsl_digi_tpu.config import DecoderLine
+from cwsl_digi_tpu.constants import WAVE_SR, Mode, get_rx_period
+from cwsl_digi_tpu.dsp.channelizer import BatchChannelizer
+from cwsl_digi_tpu.runtime.decoderpool import DecodeJob, DecoderPool
+from cwsl_digi_tpu.sdr.source import IQSource
+
+
+class Status(enum.Enum):
+    """Reference: source/Receiver.hpp:45-50."""
+
+    NOT_INITIALIZED = "Uninitialized"
+    RUNNING = "Running"
+    STOPPED = "Stopped"
+    FINISHED = "Finished"
+
+
+class Receiver:
+    """One capture source and every decoder line tuned within it."""
+
+    def __init__(
+        self,
+        source: IQSource,
+        lines: list[DecoderLine],
+        pool: DecoderPool,
+        utc_anchor: float = 0.0,
+        log: Callable[[str], None] | None = None,
+        decoder_index_base: int = 0,
+        line_indices: list[int] | None = None,
+    ) -> None:
+        self.source = source
+        self.lines = list(lines)
+        self.pool = pool
+        self.log = log or (lambda s: None)
+        self.utc_anchor = utc_anchor
+        self.status = Status.NOT_INITIALIZED
+        self._terminate = threading.Event()
+        self._thread: threading.Thread | None = None
+        self.line_indices = line_indices or [
+            decoder_index_base + i for i in range(len(lines))
+        ]
+
+        fs = source.sample_rate
+        lo = source.lo_freq
+        freqs = [line.calibrated_freq - lo for line in lines]
+        for line, f in zip(lines, freqs):
+            if abs(f) > fs / 2:
+                raise ValueError(
+                    f"decoder {line.freq} {line.mode.value} outside source band"
+                )
+        self.chan = BatchChannelizer(fs, freqs)
+
+        # group channel rows by mode for window framing
+        self._mode_rows: dict[Mode, list[int]] = {}
+        for i, line in enumerate(lines):
+            self._mode_rows.setdefault(line.mode, []).append(i)
+        # per-mode assembly buffers [C_mode, window_samples]
+        self._buffers: dict[Mode, np.ndarray] = {}
+        self._written: dict[Mode, int] = {}
+        self._window_index: dict[Mode, int] = {}
+        for mode, rows in self._mode_rows.items():
+            n = int(round(get_rx_period(mode) * WAVE_SR))
+            self._buffers[mode] = np.zeros((len(rows), n), np.float32)
+            self._written[mode] = 0
+            self._window_index[mode] = 0
+        self._iq_leftover = np.zeros(0, np.complex64)
+
+    # -- reference API ------------------------------------------------------
+
+    def init(self) -> None:
+        self.status = Status.RUNNING
+        self._thread = threading.Thread(target=self._run, name="receiver",
+                                        daemon=True)
+        self._thread.start()
+
+    def terminate(self) -> None:
+        self._terminate.set()
+        if self._thread is not None:
+            self._thread.join(timeout=3.0)
+            self._thread = None
+        if self.status == Status.RUNNING:
+            self.status = Status.STOPPED
+
+    def get_status(self) -> Status:
+        return self.status
+
+    # -- processing ---------------------------------------------------------
+
+    def _run(self) -> None:
+        sub = self.chan._sub
+        try:
+            while not self._terminate.is_set():
+                block = self.source.read_block(timeout=1.0)
+                if block is None:
+                    self.status = Status.FINISHED
+                    self._flush_partials()
+                    return
+                self.process_iq(block)
+        except Exception as e:
+            self.log(f"### receiver error: {e!r}")
+            self.status = Status.STOPPED
+
+    def process_iq(self, block: np.ndarray) -> None:
+        """Feed one IQ block (any length); channelize in sub-block units."""
+        iq = np.concatenate([self._iq_leftover, np.asarray(block, np.complex64)])
+        sub = self.chan._sub
+        usable = (len(iq) // sub) * sub
+        self._iq_leftover = iq[usable:]
+        if usable == 0:
+            return
+        audio = np.asarray(self.chan.process(iq[:usable]))  # [C, usable/BS]
+        self._accumulate(audio)
+
+    def _accumulate(self, audio: np.ndarray) -> None:
+        for mode, rows in self._mode_rows.items():
+            buf = self._buffers[mode]
+            cap = buf.shape[1]
+            data = audio[rows]
+            pos = 0
+            while pos < data.shape[1]:
+                w = self._written[mode]
+                n = min(cap - w, data.shape[1] - pos)
+                buf[:, w : w + n] = data[:, pos : pos + n]
+                self._written[mode] = w + n
+                pos += n
+                if self._written[mode] == cap:
+                    self._emit(mode)
+
+    def _emit(self, mode: Mode) -> None:
+        rows = self._mode_rows[mode]
+        k = self._window_index[mode]
+        trp = get_rx_period(mode)
+        job = DecodeJob(
+            mode=mode,
+            audio=self._buffers[mode].copy(),
+            base_freqs=[self.lines[i].freq for i in rows],
+            decoder_indices=[self.line_indices[i] for i in rows],
+            epoch_time=int(self.utc_anchor + k * trp),
+            wspr_callsigns=[self.lines[i].wspr_call for i in rows],
+        )
+        self.pool.push(job)
+        self._written[mode] = 0
+        self._window_index[mode] = k + 1
+
+    def _flush_partials(self) -> None:
+        """On end-of-stream, emit any window at least half filled (replay
+        convenience; the reference simply loses the partial window)."""
+        for mode in self._mode_rows:
+            if self._written[mode] >= self._buffers[mode].shape[1] // 2:
+                self._buffers[mode][:, self._written[mode]:] = 0.0
+                self._written[mode] = self._buffers[mode].shape[1]
+                self._emit(mode)

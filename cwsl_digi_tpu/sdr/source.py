@@ -1,0 +1,220 @@
+"""IQ intake sources.
+
+Replaces the reference's L0-L2 ingest stack (CW Skimmer shared memory +
+Receiver threads, source/SharedMemory.cpp, source/Receiver.hpp) with a
+source abstraction:
+
+- :class:`ReplaySource` — file replay (.npy complex64 / raw interleaved
+  float32 IQ / 2-channel WAV), the primary test/bench path;
+- :class:`SyntheticSource` — generated band noise with embedded mode
+  signals, for self-test;
+- :class:`cwsl_digi_tpu.sdr.shm.ShmSource` — POSIX shared-memory ring
+  mirroring the reference's ``SM_HDR{SampleRate, BlockInSamples, L0}``
+  contract (source/SharedMemory.h:10-21);
+- socket streaming (:class:`SocketSource`) for networked SDRs.
+
+Every source yields fixed-size complex64 blocks and exposes the metadata the
+reference reads from the CWSL header: sample rate, block size, and LO (center)
+frequency (source/Receiver.hpp:87-91).
+"""
+
+from __future__ import annotations
+
+import socket as _socket
+import time
+from pathlib import Path
+from typing import Optional, Protocol
+
+import numpy as np
+
+
+class IQSource(Protocol):
+    sample_rate: int
+    lo_freq: int            # center frequency of the IQ stream, Hz
+    block_size: int         # complex samples per block
+
+    def read_block(self, timeout: float = 1.0) -> Optional[np.ndarray]:
+        """Next block of complex64 IQ, or None on timeout/end."""
+        ...
+
+    def close(self) -> None: ...
+
+
+class ReplaySource:
+    """File replay with optional real-time pacing and looping."""
+
+    def __init__(
+        self,
+        path: str | Path,
+        sample_rate: int,
+        lo_freq: int,
+        block_size: int = 0,
+        realtime: bool = False,
+        loop: bool = False,
+    ) -> None:
+        self.sample_rate = int(sample_rate)
+        self.lo_freq = int(lo_freq)
+        self.block_size = int(block_size) or self.sample_rate // 4
+        self.realtime = realtime
+        self.loop = loop
+        self._data = self._load(Path(path))
+        self._pos = 0
+        self._t0 = time.monotonic()
+        self._emitted = 0
+
+    @staticmethod
+    def _load(path: Path) -> np.ndarray:
+        suffix = path.suffix.lower()
+        if suffix == ".npy":
+            data = np.load(path)
+            if not np.iscomplexobj(data):
+                data = data[..., 0] + 1j * data[..., 1]
+            return data.astype(np.complex64)
+        if suffix in (".raw", ".iq", ".cf32"):
+            flat = np.fromfile(path, dtype=np.float32)
+            return (flat[0::2] + 1j * flat[1::2]).astype(np.complex64)
+        if suffix == ".wav":
+            import wave
+
+            with wave.open(str(path), "rb") as w:
+                assert w.getnchannels() == 2, "IQ WAV must be 2-channel"
+                sw = w.getsampwidth()
+                raw = w.readframes(w.getnframes())
+            if sw == 2:
+                flat = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+            else:
+                flat = np.frombuffer(raw, np.float32)
+            return (flat[0::2] + 1j * flat[1::2]).astype(np.complex64)
+        raise ValueError(f"unsupported IQ file: {path}")
+
+    def read_block(self, timeout: float = 1.0) -> Optional[np.ndarray]:
+        if self._pos + self.block_size > len(self._data):
+            if not self.loop:
+                return None
+            self._pos = 0
+        block = self._data[self._pos : self._pos + self.block_size]
+        self._pos += self.block_size
+        if self.realtime:
+            self._emitted += self.block_size
+            due = self._t0 + self._emitted / self.sample_rate
+            delay = due - time.monotonic()
+            if delay > 0:
+                time.sleep(min(delay, timeout))
+        return block
+
+    def close(self) -> None:
+        pass
+
+
+class SyntheticSource:
+    """Band noise with optional embedded signals; for self-test and demos."""
+
+    def __init__(
+        self,
+        sample_rate: int,
+        lo_freq: int,
+        block_size: int = 0,
+        noise_amplitude: float = 0.01,
+        seed: int = 0,
+        realtime: bool = False,
+    ) -> None:
+        self.sample_rate = int(sample_rate)
+        self.lo_freq = int(lo_freq)
+        self.block_size = int(block_size) or self.sample_rate // 4
+        self.noise = noise_amplitude
+        self._rng = np.random.default_rng(seed)
+        self.realtime = realtime
+        self._signals: list[tuple[int, np.ndarray]] = []  # (abs start sample, iq)
+        self._pos = 0
+        self._t0 = time.monotonic()
+
+    def inject(self, start_sample: int, iq: np.ndarray) -> None:
+        """Schedule a complex burst at an absolute sample offset."""
+        self._signals.append((int(start_sample), np.asarray(iq, np.complex64)))
+
+    def read_block(self, timeout: float = 1.0) -> Optional[np.ndarray]:
+        n = self.block_size
+        block = (
+            self._rng.standard_normal(n) + 1j * self._rng.standard_normal(n)
+        ).astype(np.complex64) * self.noise
+        lo, hi = self._pos, self._pos + n
+        for start, sig in self._signals:
+            s0, s1 = max(start, lo), min(start + len(sig), hi)
+            if s0 < s1:
+                block[s0 - lo : s1 - lo] += sig[s0 - start : s1 - start]
+        self._pos += n
+        if self.realtime:
+            due = self._t0 + self._pos / self.sample_rate
+            delay = due - time.monotonic()
+            if delay > 0:
+                time.sleep(min(delay, timeout))
+        return block
+
+    def close(self) -> None:
+        pass
+
+
+class SocketSource:
+    """Raw interleaved-float32 IQ over TCP (simple network feeder)."""
+
+    def __init__(self, host: str, port: int, sample_rate: int, lo_freq: int,
+                 block_size: int = 0) -> None:
+        self.sample_rate = int(sample_rate)
+        self.lo_freq = int(lo_freq)
+        self.block_size = int(block_size) or self.sample_rate // 4
+        self._sock = _socket.create_connection((host, port), timeout=5.0)
+
+    def read_block(self, timeout: float = 1.0) -> Optional[np.ndarray]:
+        self._sock.settimeout(timeout)
+        need = self.block_size * 8
+        chunks = []
+        got = 0
+        try:
+            while got < need:
+                chunk = self._sock.recv(need - got)
+                if not chunk:
+                    return None
+                chunks.append(chunk)
+                got += len(chunk)
+        except TimeoutError:
+            return None
+        flat = np.frombuffer(b"".join(chunks), np.float32)
+        return (flat[0::2] + 1j * flat[1::2]).astype(np.complex64)
+
+    def close(self) -> None:
+        self._sock.close()
+
+
+def open_source(spec: str, sample_rate: int = 0, lo_freq: int = 0,
+                block_size: int = 0) -> IQSource:
+    """Open a source from a spec string.
+
+    ``file:/path/x.npy?sr=192000&lo=14000000`` | ``shm:NAME`` |
+    ``tcp:host:port?sr=...&lo=...`` | ``synthetic:?sr=...&lo=...`` —
+    the config-level analogue of the reference's shared-memory discovery
+    (source/CWSL_Utils.hpp:27-53).  ``sr``/``lo``/``block`` query params
+    override the keyword arguments; shm carries its own metadata.
+    """
+    spec, _, query = spec.partition("?")
+    if query:
+        for kv in query.split("&"):
+            k, _, v = kv.partition("=")
+            if k == "sr":
+                sample_rate = int(v)
+            elif k == "lo":
+                lo_freq = int(v)
+            elif k == "block":
+                block_size = int(v)
+    kind, _, rest = spec.partition(":")
+    if kind == "file":
+        return ReplaySource(rest, sample_rate, lo_freq, block_size)
+    if kind == "shm":
+        from cwsl_digi_tpu.sdr.shm import ShmSource
+
+        return ShmSource(rest)
+    if kind == "tcp":
+        host, _, port = rest.rpartition(":")
+        return SocketSource(host, int(port), sample_rate, lo_freq, block_size)
+    if kind == "synthetic":
+        return SyntheticSource(sample_rate, lo_freq, block_size)
+    raise ValueError(f"unknown source spec: {spec}")

@@ -68,18 +68,6 @@ def test_sharded_skim_step_decodes():
 
 
 def _analytic_gfsk(tones, f0, sps, fs, spacing):
-    """Complex (analytic) GFSK burst for IQ synthesis."""
-    from cwsl_digi_tpu.modes.gfsk import gaussian_frequency_pulse
+    from cwsl_digi_tpu.modes.gfsk import gfsk_modulate_iq
 
-    tones = np.asarray(tones, float)
-    n = len(tones) * sps
-    pulse = gaussian_frequency_pulse(sps, 2.0)
-    dphi = np.zeros(n + 2 * sps)
-    hmod = spacing / fs
-    for i, tone in enumerate(tones):
-        dphi[i * sps : i * sps + 3 * sps] += 2 * np.pi * hmod * tone * pulse
-    dphi[: 2 * sps] += 2 * np.pi * hmod * tones[0] * pulse[sps:]
-    dphi[-2 * sps :] += 2 * np.pi * hmod * tones[-1] * pulse[: 2 * sps]
-    dphi = dphi[sps : sps + n] + 2 * np.pi * f0 / fs
-    phase = np.cumsum(dphi) - dphi[0]
-    return np.exp(1j * phase)
+    return gfsk_modulate_iq(tones, f0, sps, fs, spacing)

@@ -1,0 +1,233 @@
+"""Runtime layer: shm ring, sources, scheduler, pool, receiver end-to-end."""
+
+import time
+
+import numpy as np
+import pytest
+
+from cwsl_digi_tpu.config import DecoderLine
+from cwsl_digi_tpu.constants import Mode
+from cwsl_digi_tpu.modes import ft8
+from cwsl_digi_tpu.modes.base import DecodeResult
+from cwsl_digi_tpu.modes.gfsk import gfsk_modulate_iq
+from cwsl_digi_tpu.runtime.decoderpool import DecodeJob, DecoderPool
+from cwsl_digi_tpu.runtime.receiver import Receiver, Status
+from cwsl_digi_tpu.runtime.scheduler import CadenceScheduler
+from cwsl_digi_tpu.sdr.shm import ShmSource, ShmWriter, find_band, shm_name
+from cwsl_digi_tpu.sdr.source import ReplaySource, SyntheticSource, open_source
+
+
+# ---------------------------------------------------------------------------
+# Shared-memory ring (reference contract: SharedMemory.h/CWSL_Utils.hpp)
+# ---------------------------------------------------------------------------
+def test_shm_roundtrip():
+    name = "testCWSLring0"
+    w = ShmWriter(name, sample_rate=96_000, block_in_samples=1024,
+                  l0=14_085_000, num_blocks=8)
+    try:
+        src = ShmSource(name)
+        assert src.sample_rate == 96_000
+        assert src.block_size == 1024
+        assert src.lo_freq == 14_085_000
+        blocks = [np.full(1024, i + 1j * i, np.complex64) for i in range(3)]
+        for b in blocks:
+            w.write_block(b)
+        for i in range(3):
+            got = src.read_block(timeout=0.5)
+            np.testing.assert_array_equal(got, blocks[i])
+        assert src.read_block(timeout=0.05) is None  # no more data
+        src.close()
+    finally:
+        w.close()
+
+
+def test_shm_overrun_skips_to_oldest():
+    name = "testCWSLring1"
+    w = ShmWriter(name, 48_000, 256, 7_000_000, num_blocks=4)
+    try:
+        src = ShmSource(name)
+        for i in range(10):   # laps the 4-block ring
+            w.write_block(np.full(256, i, np.complex64))
+        got = src.read_block(timeout=0.5)
+        assert got[0].real >= 6  # skipped to oldest safe block
+        src.close()
+    finally:
+        w.close()
+
+
+def test_find_band():
+    # reference: findBand probes CWSL<idx>Band names (CWSL_Utils.hpp:27-53)
+    w = ShmWriter(shm_name(2), 192_000, 512, 14_085_000)
+    try:
+        assert find_band(14_074_000) == shm_name(2)
+        assert find_band(7_074_000) is None
+    finally:
+        w.close()
+
+
+# ---------------------------------------------------------------------------
+# Sources
+# ---------------------------------------------------------------------------
+def test_replay_source_npy(tmp_path):
+    data = (np.arange(10_000) + 1j * np.arange(10_000)).astype(np.complex64)
+    p = tmp_path / "iq.npy"
+    np.save(p, data)
+    src = ReplaySource(p, sample_rate=8_000, lo_freq=7_000_000, block_size=4_000)
+    b1 = src.read_block()
+    b2 = src.read_block()
+    assert src.read_block() is None  # only 2000 left < block
+    np.testing.assert_array_equal(np.concatenate([b1, b2]), data[:8_000])
+
+
+def test_open_source_spec_params(tmp_path):
+    data = np.zeros(100, np.complex64)
+    p = tmp_path / "iq.npy"
+    np.save(p, data)
+    src = open_source(f"file:{p}?sr=48000&lo=14000000&block=50")
+    assert src.sample_rate == 48_000 and src.lo_freq == 14_000_000
+    assert src.block_size == 50
+    with pytest.raises(ValueError):
+        open_source("warp:nope")
+
+
+# ---------------------------------------------------------------------------
+# Scheduler
+# ---------------------------------------------------------------------------
+def test_scheduler_fires_boundaries():
+    fired = []
+    s = CadenceScheduler()
+    s.subscribe(15.0, lambda b: fired.append(("ft8", b)))
+    s.subscribe(7.5, lambda b: fired.append(("ft4", b)))
+    s.run_once(now=112.5)
+    assert fired == [("ft4", 112.5)]       # 112.5 is an FT4-only boundary
+    fired.clear()
+    s.run_once(now=120.0)                  # both cadences land on 120
+    assert ("ft8", 120.0) in fired and ("ft4", 120.0) in fired
+    fired.clear()
+    s.run_once(now=121.0)                  # nothing new due
+    assert fired == []
+    s.run_once(now=135.1)                  # catches up 127.5 (ft4) + 135 (both)
+    assert fired == [("ft8", 135.0), ("ft4", 127.5), ("ft4", 135.0)]
+
+
+# ---------------------------------------------------------------------------
+# Decoder pool
+# ---------------------------------------------------------------------------
+class _FakeDecoder:
+    def __init__(self, mode):
+        self.mode = mode
+
+    def decode(self, audio):
+        return [[DecodeResult("CQ W2AXR FN13", -10, 0.0, 1500.0, mode=self.mode)]
+                for _ in range(audio.shape[0])]
+
+
+def _job(mode, n_ch=2, epoch=None):
+    return DecodeJob(
+        mode=mode,
+        audio=np.zeros((n_ch, 1000), np.float32),
+        base_freqs=[14_074_000] * n_ch,
+        decoder_indices=list(range(n_ch)),
+        epoch_time=int(epoch if epoch is not None else time.time()),
+    )
+
+
+def test_pool_decodes_and_reports():
+    got = []
+    pool = DecoderPool(num_workers=2, max_long_workers=1,
+                       on_result=lambda j, ci, r: got.append((j.mode, ci, r)),
+                       decoder_factory=_FakeDecoder)
+    pool.init()
+    try:
+        pool.push(_job(Mode.FT8, 3))
+        pool.push(_job(Mode.WSPR, 2))   # long queue
+        deadline = time.monotonic() + 5
+        while len(got) < 5 and time.monotonic() < deadline:
+            time.sleep(0.02)
+        assert len(got) == 5
+        assert pool.count_decoded_windows == 5
+    finally:
+        pool.terminate()
+
+
+def test_pool_drops_stale():
+    pool = DecoderPool(num_workers=1, max_data_age_factor=10.0,
+                       decoder_factory=_FakeDecoder)
+    try:
+        # a job that sat in the queue > maxdataage*T_R (150 s) is shed
+        job = _job(Mode.FT8, 2)
+        pool.push(job)
+        job.enqueued_at = time.time() - 1200  # simulate 20 min backlog
+        pool.init()  # start workers only after backdating
+        deadline = time.monotonic() + 3
+        while pool.count_dropped_stale < 2 and time.monotonic() < deadline:
+            time.sleep(0.02)
+        assert pool.count_dropped_stale == 2
+        assert pool.count_decoded_windows == 0
+    finally:
+        pool.terminate()
+
+
+# ---------------------------------------------------------------------------
+# Receiver end-to-end: IQ stream -> channelizer -> framing -> decode
+# ---------------------------------------------------------------------------
+def test_receiver_end_to_end_ft8():
+    fs = 48_000
+    lo = 14_080_000
+    dial = 14_074_000
+    text = "CQ W2AXR FN13"
+    # build 31 s of IQ: bursts in window 0 and window 1
+    src = SyntheticSource(fs, lo, block_size=fs // 2, noise_amplitude=0.005,
+                          seed=1)
+    sps_iq = ft8.SPS * fs // ft8.WAVE_SR
+    offset = dial + 1500.0 - lo          # audio 1500 Hz -> IQ offset
+    burst = gfsk_modulate_iq(ft8.encode_message(text), offset, sps_iq, fs,
+                             ft8.TONE_SPACING)
+    src.inject(int(0.5 * fs), 0.3 * burst)
+    src.inject(int(15.5 * fs), 0.3 * burst)
+
+    spots = []
+    pool = DecoderPool(
+        num_workers=1,
+        on_result=lambda j, ci, r: spots.append((j.epoch_time, ci, r.message)),
+        decoder_factory=lambda mode: ft8.FT8Decoder(top_k=16, bp_iters=20),
+    )
+    pool.init()
+    rx = Receiver(
+        src,
+        [DecoderLine(dial, Mode.FT8), DecoderLine(14_080_000, Mode.FT8)],
+        pool,
+        utc_anchor=1_700_000_000,
+    )
+    try:
+        # feed 31 s of stream time directly (no thread; deterministic)
+        for _ in range(62):
+            rx.process_iq(src.read_block())
+        # wait for both windows to finish decoding (drain only empties the
+        # queue; the in-flight decode incl. first-compile takes seconds)
+        deadline = time.monotonic() + 60
+        while pool.count_decoded_windows < 4 and time.monotonic() < deadline:
+            time.sleep(0.05)
+        msgs = {(e, ci, m) for e, ci, m in spots}
+        assert (1_700_000_000, 0, text) in msgs      # window 0, channel 0
+        assert (1_700_000_015, 0, text) in msgs      # window 1
+        assert all(ci == 0 for _, ci, _ in spots)    # other channel quiet
+    finally:
+        pool.terminate()
+
+
+def test_receiver_thread_and_status(tmp_path):
+    fs = 48_000
+    data = np.zeros(fs * 2, np.complex64)
+    p = tmp_path / "iq.npy"
+    np.save(p, data)
+    src = ReplaySource(p, fs, 14_080_000, block_size=fs // 4)
+    pool = DecoderPool(num_workers=1, decoder_factory=_FakeDecoder)
+    rx = Receiver(src, [DecoderLine(14_074_000, Mode.FT8)], pool)
+    assert rx.get_status() == Status.NOT_INITIALIZED
+    rx.init()
+    deadline = time.monotonic() + 10
+    while rx.get_status() != Status.FINISHED and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert rx.get_status() == Status.FINISHED   # stream ended
+    rx.terminate()
