@@ -49,17 +49,19 @@ def _bench_decode(batch: int = 32, top_k: int = 128, iters: int = 30):
 
     from cwsl_digi_tpu.modes import ft8
 
+    from cwsl_digi_tpu.constants import WAVE_SR
+    from cwsl_digi_tpu.modes.gfsk_engine import decode_program
+
     dec = ft8.FT8Decoder(top_k=top_k, bp_iters=iters)
     rng = np.random.default_rng(1)
-    wins = rng.standard_normal((batch, int(ft8.T_R * ft8.WAVE_SR))).astype(np.float32)
-    args = (dec.cfg, (wins.shape[1],), np.asarray(wins),
-            dec._crc_mat, dec._bitmaps, dec._window)
-    out = ft8._decode_program(*args)
-    jax.block_until_ready(out)
+    wins = rng.standard_normal((batch, int(ft8.T_R * WAVE_SR))).astype(np.float32)
+    args = (dec.spec, (wins.shape[1],), np.asarray(wins),
+            dec._crc_mat, dec._bitmaps, dec._window, dec.bp, dec._data_syms)
+    jax.block_until_ready(decode_program(*args))
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        jax.block_until_ready(ft8._decode_program(*args))
+        jax.block_until_ready(decode_program(*args))
     dt = (time.perf_counter() - t0) / reps
     return dt / batch  # device seconds per 15 s window
 

@@ -1,0 +1,262 @@
+"""Generic batched decoder engine for GFSK sync-array modes.
+
+FT8, FT4, JS8 and the FST4/FST4W family share one physical-layer shape:
+n-GFSK symbols at fixed baud, known sync symbols at known positions, the
+remaining symbols carrying Gray-mapped codeword bits protected by an LDPC
+code + CRC.  The reference treats each as a different external binary
+(jt9 -8/-5/-7/-W, js8), but on TPU they are all the SAME fixed-shape program
+with different static parameters:
+
+  1. power spectrogram: frames of ``sps`` samples, hop ``sps/4``, rfft
+     zero-padded 2x -> half-tone-spacing frequency bins;
+  2. sync correlation: one shifted-slice add per known sync cell;
+  3. top-K candidates over (start hop, base bin);
+  4. tone-energy gather -> max-log LLRs;
+  5. batched min-sum LDPC + matrix CRC -> validity mask.
+
+``ModeSpec`` is hashable, so one jitted program per (spec, window length).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cwsl_digi_tpu.constants import WAVE_SR
+from cwsl_digi_tpu.modes.ldpc import BPDecoder, Code
+
+
+@dataclasses.dataclass(frozen=True)
+class ModeSpec:
+    """Static physical-layer description of one GFSK mode."""
+
+    name: str
+    n_sym: int                    # total symbols
+    sps: int                      # samples per symbol @ 12 kHz
+    n_tones: int
+    bits_per_sym: int
+    sync_cells: tuple[tuple[int, int], ...]   # (symbol index, tone)
+    data_syms: tuple[int, ...]    # symbol indices carrying codeword bits
+    gray_map: tuple[int, ...]     # bits value -> tone
+    trperiod: float
+    signal_start_s: float = 0.5
+    fmin_hz: float = 200.0
+    fmax_hz: float = 3000.0
+    # decoder knobs
+    top_k: int = 128
+    bp_iters: int = 30
+    max_hops: int = 128           # candidate start-time grid
+    pad_hops: int = 64
+
+    @property
+    def hop(self) -> int:
+        return self.sps // 4
+
+    @property
+    def nfft(self) -> int:
+        return 2 * self.sps
+
+    @property
+    def bin_hz(self) -> float:
+        return WAVE_SR / self.nfft
+
+    @property
+    def baud(self) -> float:
+        return WAVE_SR / self.sps
+
+    @property
+    def tone_spacing(self) -> float:
+        return self.baud
+
+    @property
+    def n_bits(self) -> int:
+        return len(self.data_syms) * self.bits_per_sym
+
+    def inverse_gray(self) -> np.ndarray:
+        return np.argsort(np.asarray(self.gray_map)).astype(np.int32)
+
+    def tones_from_codeword(self, codeword: np.ndarray) -> np.ndarray:
+        """codeword bits -> full symbol/tone sequence (encoder side)."""
+        codeword = np.asarray(codeword, np.uint8)
+        assert codeword.shape == (self.n_bits,)
+        vals = codeword.reshape(len(self.data_syms), self.bits_per_sym)
+        v = np.zeros(len(self.data_syms), np.int64)
+        for b in range(self.bits_per_sym):
+            v = v * 2 + vals[:, b]
+        gray = np.asarray(self.gray_map)
+        tones = np.zeros(self.n_sym, np.int32)
+        for s, tone in self.sync_cells:
+            tones[s] = tone
+        tones[np.asarray(self.data_syms)] = gray[v]
+        return tones
+
+    def bitmaps(self) -> np.ndarray:
+        """[bits_per_sym, n_tones]: bit j of each tone's Gray value."""
+        ig = self.inverse_gray()
+        out = np.zeros((self.bits_per_sym, self.n_tones), np.float32)
+        for tone in range(self.n_tones):
+            v = int(ig[tone])
+            for j in range(self.bits_per_sym):
+                out[j, tone] = (v >> (self.bits_per_sym - 1 - j)) & 1
+        return out
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 6))
+def decode_program(
+    spec: ModeSpec,
+    shapes: tuple,                 # (n_samples,)
+    audio: jax.Array,              # [B, N] float32
+    crc_mat: jax.Array,            # [n_payload, n_crc] float32
+    bitmaps: jax.Array,            # [bits_per_sym, n_tones] float32
+    window: jax.Array,             # [sps] analysis window
+    bp: BPDecoder,                 # static (hashable, holds NumPy tables only)
+    data_syms: jax.Array,          # [n_data] int32
+):
+    (n_samples,) = shapes
+    b = audio.shape[0]
+    sps, hop, nfft = spec.sps, spec.hop, spec.nfft
+    n_hops = (n_samples - sps) // hop + 1
+    fmin_bin = int(spec.fmin_hz / spec.bin_hz)
+    fmax_bin = int(spec.fmax_hz / spec.bin_hz)
+    n_bins = fmax_bin - fmin_bin + 2 * spec.n_tones
+
+    # --- 1. spectrogram ---------------------------------------------------
+    idx = jnp.arange(n_hops)[:, None] * hop + jnp.arange(sps)[None, :]
+    frames = audio[:, idx] * window[None, None, :]
+    spec_c = jnp.fft.rfft(frames, n=nfft, axis=-1)
+    power = jnp.abs(spec_c) ** 2
+    power = power[:, :, fmin_bin : fmin_bin + n_bins]
+    power = jnp.pad(power, ((0, 0), (spec.pad_hops, spec.pad_hops), (0, 0)))
+
+    # --- 2. sync correlation ----------------------------------------------
+    n_t0 = spec.max_hops
+    n_f0 = fmax_bin - fmin_bin
+    acc = jnp.zeros((b, n_t0, n_f0), jnp.float32)
+    for sym, tone in spec.sync_cells:
+        h0, b0 = 4 * sym, 2 * tone
+        acc = acc + jax.lax.slice(power, (0, h0, b0), (b, h0 + n_t0, b0 + n_f0))
+    base = jnp.mean(power, axis=(1, 2), keepdims=True) * len(spec.sync_cells)
+    score = acc / (base + 1e-30)
+
+    # --- 3. top-K candidates ----------------------------------------------
+    flat = score.reshape(b, -1)
+    top_val, top_idx = jax.lax.top_k(flat, spec.top_k)
+    t0 = top_idx // n_f0
+    f0 = top_idx % n_f0
+
+    # --- 4. tone energies + LLRs ------------------------------------------
+    sym_hops = t0[:, :, None] + 4 * data_syms[None, None, :]
+    tone_bins = f0[:, :, None] + 2 * jnp.arange(spec.n_tones, dtype=jnp.int32)[None, None, :]
+    bb = jnp.arange(b)[:, None, None, None]
+    e = power[bb, sym_hops[:, :, :, None], tone_bins[:, :, None, :]]
+    le = jnp.log(e + 1e-30)                      # [B, K, n_data, n_tones]
+    big = jnp.float32(1e30)
+    le_exp = le[:, :, :, None, :]
+    bm = bitmaps[None, None, None, :, :]
+    max0 = jnp.max(jnp.where(bm < 0.5, le_exp, -big), axis=-1)
+    max1 = jnp.max(jnp.where(bm > 0.5, le_exp, -big), axis=-1)
+    llr = (max0 - max1).reshape(b, spec.top_k, spec.n_bits)
+
+    # --- 5. LDPC + CRC ----------------------------------------------------
+    n_code = bp.code.n
+    hard, parity_ok = bp.decode(llr.reshape(b * spec.top_k, n_code))
+    hard = hard.reshape(b, spec.top_k, n_code)
+    parity_ok = parity_ok.reshape(b, spec.top_k)
+    n_payload, n_crc = crc_mat.shape
+    payload = hard[:, :, :n_payload].astype(jnp.float32)
+    crc_calc = jnp.mod(jnp.einsum("bkp,pc->bkc", payload, crc_mat,
+                                  preferred_element_type=jnp.float32), 2.0)
+    crc_ok = jnp.all(
+        jnp.abs(crc_calc - hard[:, :, n_payload : n_payload + n_crc]) < 0.5,
+        axis=-1,
+    )
+    valid = parity_ok & crc_ok
+
+    # --- SNR estimate ------------------------------------------------------
+    noise = jnp.median(power, axis=(1, 2))
+    sig = top_val * base[:, :, 0] / len(spec.sync_cells)
+    snr = 10.0 * jnp.log10((sig + 1e-30) / (noise[:, None] + 1e-30)) \
+        - 10.0 * np.float32(np.log10(2500.0 / spec.tone_spacing))
+
+    return {
+        "valid": valid,
+        "payload": hard[:, :, : n_payload + n_crc],
+        "t0_hop": t0 - spec.pad_hops,
+        "f0_bin": f0 + fmin_bin,
+        "score": top_val,
+        "snr": snr,
+    }
+
+
+class GFSKDecoder:
+    """Host wrapper shared by every sync-array GFSK mode.
+
+    Subclasses (or instances) provide the mode spec, the LDPC decoder, the
+    payload CRC matrix, and an ``unpack(payload_bits) -> text`` hook.
+    """
+
+    def __init__(self, spec: ModeSpec, bp: BPDecoder, crc_matrix: np.ndarray,
+                 mode, unpack) -> None:
+        self.spec = spec
+        self.bp = bp
+        self.mode = mode
+        self.unpack = unpack
+        self._crc_mat = crc_matrix.astype(np.float32)
+        self._bitmaps = spec.bitmaps()
+        self._window = np.hanning(spec.sps).astype(np.float32)
+        self._data_syms = np.asarray(spec.data_syms, np.int32)
+        # sanity: candidate grid must fit in the padded spectrogram
+        n_samples = int(round(spec.trperiod * WAVE_SR))
+        n_hops = (n_samples - spec.sps) // spec.hop + 1 + 2 * spec.pad_hops
+        max_h = spec.max_hops + 4 * max(s for s, _ in spec.sync_cells)
+        assert max_h <= n_hops, (
+            f"{spec.name}: sync search grid ({max_h}) exceeds spectrogram "
+            f"hops ({n_hops}); reduce max_hops/pad_hops"
+        )
+
+    def decode_arrays(self, audio: np.ndarray) -> dict[str, np.ndarray]:
+        audio = np.asarray(audio, dtype=np.float32)
+        if audio.ndim == 1:
+            audio = audio[None, :]
+        out = decode_program(
+            self.spec, (audio.shape[1],), audio,
+            self._crc_mat, self._bitmaps, self._window, self.bp,
+            self._data_syms,
+        )
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def decode(self, audio: np.ndarray):
+        from cwsl_digi_tpu.modes.base import DecodeResult
+
+        out = self.decode_arrays(audio)
+        spec = self.spec
+        n_windows, top_k = out["valid"].shape
+        n_payload = self._crc_mat.shape[0]
+        results = []
+        for wi in range(n_windows):
+            seen: dict[bytes, DecodeResult] = {}
+            for k in range(top_k):
+                if not out["valid"][wi, k]:
+                    continue
+                payload = np.asarray(out["payload"][wi, k, :n_payload])
+                key = np.packbits(payload).tobytes()
+                dt = out["t0_hop"][wi, k] * spec.hop / WAVE_SR - spec.signal_start_s
+                freq = out["f0_bin"][wi, k] * spec.bin_hz
+                r = DecodeResult(
+                    message=self.unpack(payload),
+                    snr_db=round(float(out["snr"][wi, k]), 1),
+                    dt_s=round(float(dt), 2),
+                    freq_hz=round(float(freq), 1),
+                    score=float(out["score"][wi, k]),
+                    mode=self.mode,
+                    payload_bits=payload.copy(),
+                )
+                prev = seen.get(key)
+                if prev is None or r.score > prev.score:
+                    seen[key] = r
+            results.append(sorted(seen.values(), key=lambda r: -r.score))
+        return results

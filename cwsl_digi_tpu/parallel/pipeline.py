@@ -63,7 +63,7 @@ class ShardedSkimStep:
 
         dec = self.dec
         out = _skim_program(
-            chan.spec, dec.cfg, (n_audio,), self.mesh, self.axis,
+            chan.spec, dec.spec, (n_audio,), self.mesh, self.axis, dec.bp,
             jax.device_put(jnp.asarray(iq_re), rep),
             jax.device_put(jnp.asarray(iq_im), rep),
             jax.device_put(chan.tone_re, sh),
@@ -75,7 +75,8 @@ class ShardedSkimStep:
                 "phasor_re": sh, "phasor_im": sh,
                 "out_phase": rep,
             }),
-            dec._crc_mat, dec._bitmaps, dec._window,
+            jnp.asarray(dec._crc_mat), jnp.asarray(dec._bitmaps),
+            jnp.asarray(dec._window), jnp.asarray(dec._data_syms),
         )
         return {k: np.asarray(v) for k, v in out.items()}
 
@@ -88,16 +89,16 @@ class ShardedSkimStep:
         return ft8.results_from_arrays(out)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
 def _skim_program(
-    chan_spec, dec_cfg, shapes, mesh, axis,
+    chan_spec, dec_spec, shapes, mesh, axis, bp,
     iq_re, iq_im,
     tone_re, tone_im, rot_re, rot_im, step_re, step_im, segs,
     chan_state,
-    crc_mat, bitmaps, window,
+    crc_mat, bitmaps, window, data_syms,
 ):
     from cwsl_digi_tpu.dsp.channelizer import _channelize_block
-    from cwsl_digi_tpu.modes.ft8 import _decode_program
+    from cwsl_digi_tpu.modes.gfsk_engine import decode_program
 
     (n_audio,) = shapes
     sh = NamedSharding(mesh, P(axis))
@@ -107,6 +108,7 @@ def _skim_program(
         rot_re, rot_im, step_re, step_im, segs, chan_state,
     )
     audio = jax.lax.with_sharding_constraint(audio[:, :n_audio], sh)
-    out = _decode_program(dec_cfg, (n_audio,), audio, crc_mat, bitmaps, window)
+    out = decode_program(dec_spec, (n_audio,), audio, crc_mat, bitmaps,
+                         window, bp, data_syms)
     out = {k: jax.lax.with_sharding_constraint(v, sh) for k, v in out.items()}
     return out

@@ -1,0 +1,66 @@
+"""WSPR native decoder tests: codec round-trips and end-to-end decode."""
+
+import numpy as np
+import pytest
+
+from cwsl_digi_tpu.modes import wspr
+from cwsl_digi_tpu.modes.gfsk import add_noise_at_snr
+
+
+@pytest.fixture(scope="module")
+def decoder():
+    return wspr.WSPRDecoder(top_k=8, beam_width=256)
+
+
+def test_message_pack_roundtrip():
+    for call, grid, dbm in [("W2AXR", "FN13", 37), ("K1ABC", "EN34", 10),
+                            ("G4XYZ", "IO91", 23), ("VE3ABC", "EN93", 0)]:
+        bits = wspr.pack_message(call, grid, dbm)
+        assert bits.shape == (50,)
+        assert wspr.unpack_message(bits) == (call, grid, dbm)
+
+
+def test_conv_encoder_properties():
+    bits = wspr.pack_message("W2AXR", "FN13", 37)
+    coded = wspr.conv_encode(bits)
+    assert coded.shape == (162,)
+    # linearity over GF(2)
+    b2 = wspr.pack_message("K1ABC", "EN34", 10)
+    x = wspr.conv_encode((bits + b2) % 2)
+    np.testing.assert_array_equal(x, (coded + wspr.conv_encode(b2)) % 2)
+
+
+def test_interleaver_is_permutation():
+    assert sorted(wspr.INTERLEAVE.tolist()) == list(range(162))
+    np.testing.assert_array_equal(
+        wspr.INTERLEAVE[wspr.DEINTERLEAVE], np.arange(162)
+    )
+
+
+def test_encode_tones():
+    tones = wspr.encode("W2AXR", "FN13", 37)
+    assert tones.shape == (162,)
+    assert tones.min() >= 0 and tones.max() <= 3
+    # LSB carries the sync vector
+    np.testing.assert_array_equal(tones % 2, wspr.SYNC)
+
+
+def test_decode_clean(decoder):
+    audio = wspr.synthesize("W2AXR", "FN13", 37, f0_hz=1500.0)
+    res = decoder.decode(audio)[0]
+    assert res and res[0].message == "W2AXR FN13 37"
+    assert res[0].freq_hz == pytest.approx(1500.0, abs=1.5)
+
+
+def test_decode_noisy(decoder):
+    rng = np.random.default_rng(2)
+    clean = wspr.synthesize("K1ABC", "EN34", 30, f0_hz=1520.0)
+    audio = add_noise_at_snr(clean, -18.0, 12000, rng)
+    res = decoder.decode(audio)[0]
+    assert any(r.message == "K1ABC EN34 30" for r in res)
+
+
+def test_noise_rejection(decoder):
+    rng = np.random.default_rng(3)
+    noise = rng.standard_normal(int(wspr.T_R * 12000)).astype(np.float32)
+    assert decoder.decode(noise)[0] == []
