@@ -56,10 +56,14 @@ def get_decoder(mode: Mode | str, **kwargs) -> "ModeDecoder":
 
 
 def _construct(mode: Mode, **kwargs):
-    if mode in (Mode.FT8, Mode.JS8):
+    if mode == Mode.FT8:
         from cwsl_digi_tpu.modes.ft8 import FT8Decoder
 
         return FT8Decoder(**kwargs)
+    if mode == Mode.JS8:
+        from cwsl_digi_tpu.modes.js8 import JS8Decoder
+
+        return JS8Decoder(**kwargs)
     if mode == Mode.FT4:
         from cwsl_digi_tpu.modes.ft4 import FT4Decoder
 
@@ -68,4 +72,18 @@ def _construct(mode: Mode, **kwargs):
         from cwsl_digi_tpu.modes.wspr import WSPRDecoder
 
         return WSPRDecoder(**kwargs)
+    if mode == Mode.JT65:
+        from cwsl_digi_tpu.modes.jt65 import JT65Decoder
+
+        return JT65Decoder(**kwargs)
+    if mode == Mode.Q65_30:
+        from cwsl_digi_tpu.modes.q65 import Q65Decoder
+
+        return Q65Decoder(**kwargs)
+    from cwsl_digi_tpu.constants import is_mode_fst4, is_mode_fst4w
+
+    if is_mode_fst4(mode) or is_mode_fst4w(mode):
+        from cwsl_digi_tpu.modes.fst4 import FST4Decoder
+
+        return FST4Decoder(mode, **kwargs)
     raise NotImplementedError(f"no native decoder yet for {mode}")

@@ -1,0 +1,189 @@
+"""FST4 / FST4W: 4-GFSK slow modes, LDPC(240,101), T/R 60-1800 s.
+
+The reference invokes ``jt9 -7 -p T`` (FST4) and ``jt9 -W -p T`` (FST4W)
+with per-period shmem params (source/DecoderPool.hpp:490-573,649-659) and
+band limits 900-1100 Hz for FST4W (:655-658).  Native structure:
+
+  - 144 symbols: three 8-symbol 4-tone sync arrays (start/middle/end) and
+    120 data symbols carrying the 240 codeword bits, 2 per symbol;
+  - LDPC(240,101) (ldpc.py fst4_code): 101 info bits = 77 payload + 24 CRC
+    (poly 0x864CFB);
+  - symbol length scales with the period so the burst fills ~86% of the
+    slot: 4320/8640/23040/72000/146880 samples for 60/120/300/900/1800 s —
+    tone spacing down to 0.082 Hz for FST4-1800;
+  - FST4 carries the standard 77-bit message payload (message77.py);
+    FST4W carries a WSPR-style [call|grid|power] 50-bit beacon payload
+    (wspr.pack_message) zero-padded to 77 bits.
+
+All variants share the generic GFSK engine (gfsk_engine.py) — each period
+is just a different ModeSpec, so FST4-1800 compiles to the same program
+shape family as FT8.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+from cwsl_digi_tpu.constants import Mode, WAVE_SR
+from cwsl_digi_tpu.modes import message77, wspr
+from cwsl_digi_tpu.modes.crc import crc_remainder
+from cwsl_digi_tpu.modes.gfsk import gfsk_modulate
+from cwsl_digi_tpu.modes.gfsk_engine import GFSKDecoder, ModeSpec
+from cwsl_digi_tpu.modes.ldpc import fst4_code, get_bp_decoder
+
+NSYM = 144
+GRAY4 = (0, 1, 3, 2)
+CRC24_POLY = 0x864CFB
+CRC_BITS = 24
+PAYLOAD_BITS = 77
+
+SYNC_SEQS = (
+    (0, (0, 1, 3, 2, 1, 0, 2, 3)),
+    (68, (2, 3, 1, 0, 3, 2, 0, 1)),
+    (136, (1, 2, 0, 3, 0, 3, 1, 2)),
+)
+_sync_cells = tuple(
+    (off + i, t) for off, seq in SYNC_SEQS for i, t in enumerate(seq)
+)
+_sync_syms = {s for s, _ in _sync_cells}
+DATA_SYMS = tuple(s for s in range(NSYM) if s not in _sync_syms)
+assert len(DATA_SYMS) == 120
+
+# samples/symbol per T/R period (~86% slot occupancy)
+SPS_BY_PERIOD = {60: 4320, 120: 8640, 300: 23040, 900: 72000, 1800: 146880}
+
+_FST4_MODES = {
+    Mode.FST4_60: (60, False), Mode.FST4_120: (120, False),
+    Mode.FST4_300: (300, False), Mode.FST4_900: (900, False),
+    Mode.FST4_1800: (1800, False),
+    Mode.FST4W_120: (120, True), Mode.FST4W_300: (300, True),
+    Mode.FST4W_900: (900, True), Mode.FST4W_1800: (1800, True),
+}
+
+
+def fst4_crc(payload77: np.ndarray) -> np.ndarray:
+    """24-bit CRC over the payload padded to 82 bits."""
+    payload77 = np.asarray(payload77, np.uint8)
+    msg = np.concatenate([payload77, np.zeros(5, np.uint8)])
+    return crc_remainder(msg, poly=CRC24_POLY, crc_bits=CRC_BITS)
+
+
+@functools.lru_cache(maxsize=1)
+def fst4_crc_matrix() -> np.ndarray:
+    m = np.zeros((PAYLOAD_BITS, CRC_BITS), np.uint8)
+    for i in range(PAYLOAD_BITS):
+        e = np.zeros(PAYLOAD_BITS, np.uint8)
+        e[i] = 1
+        m[i] = fst4_crc(e)
+    return m
+
+
+@functools.lru_cache(maxsize=None)
+def make_spec(mode: Mode) -> ModeSpec:
+    period, is_w = _FST4_MODES[mode]
+    sps = SPS_BY_PERIOD[period]
+    # reference band limits: FST4W 900-1100 Hz, FST4-300 700-1100, else
+    # the normal band (source/DecoderPool.hpp:530-573,655-658); we search
+    # a window around 1000 Hz for the slow modes to bound the bin count.
+    if is_w:
+        fmin, fmax = 900.0, 1100.0
+    elif period >= 300:
+        fmin, fmax = 700.0, 1100.0
+    else:
+        fmin, fmax = 300.0, 2400.0
+    # keep the candidate grid small for very long symbols
+    max_hops = 64 if period <= 120 else 32
+    pad_hops = 32 if period <= 120 else 16
+    return ModeSpec(
+        name=str(mode.value),
+        n_sym=NSYM,
+        sps=sps,
+        n_tones=4,
+        bits_per_sym=2,
+        sync_cells=_sync_cells,
+        data_syms=DATA_SYMS,
+        gray_map=GRAY4,
+        trperiod=float(period),
+        signal_start_s=1.0,
+        fmin_hz=fmin,
+        fmax_hz=fmax,
+        top_k=32,
+        bp_iters=35,
+        max_hops=max_hops,
+        pad_hops=pad_hops,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Payload codecs
+# ---------------------------------------------------------------------------
+
+def pack_payload(text: str, is_w: bool) -> np.ndarray:
+    if not is_w:
+        return message77.pack77(text)
+    # FST4W: "CALL GRID PWR" beacon payload
+    parts = text.split()
+    if len(parts) != 3:
+        raise ValueError(f"FST4W message must be 'CALL GRID dBm': {text!r}")
+    bits50 = wspr.pack_message(parts[0], parts[1], int(parts[2]))
+    return np.concatenate([bits50, np.zeros(PAYLOAD_BITS - 50, np.uint8)])
+
+
+def unpack_payload(bits77: np.ndarray, is_w: bool) -> str | None:
+    if not is_w:
+        return message77.unpack77(bits77).text
+    try:
+        call, grid, dbm = wspr.unpack_message(bits77[:50])
+    except ValueError:
+        return None
+    if np.any(bits77[50:]):
+        return None
+    return f"{call} {grid} {dbm}"
+
+
+def encode_message(text: str, mode: Mode) -> np.ndarray:
+    period, is_w = _FST4_MODES[mode]
+    payload = pack_payload(text, is_w)
+    info = np.concatenate([payload, fst4_crc(payload)])
+    codeword = fst4_code().encode(info)
+    return make_spec(mode).tones_from_codeword(codeword)
+
+
+def synthesize(text: str, mode: Mode, f0_hz: float = 1000.0,
+               amplitude: float = 1.0, start_s: float = 1.0,
+               window_len: int | None = None) -> np.ndarray:
+    spec = make_spec(mode)
+    tones = encode_message(text, mode)
+    burst = gfsk_modulate(tones, f0_hz, spec.sps, WAVE_SR, spec.tone_spacing,
+                          bt=1.0)
+    if window_len is None:
+        window_len = int(spec.trperiod * WAVE_SR)
+    out = np.zeros(window_len)
+    start = int(round(start_s * WAVE_SR))
+    n = min(len(burst), window_len - start)
+    out[start : start + n] = amplitude * burst[:n]
+    return out
+
+
+class FST4Decoder(GFSKDecoder):
+    """One decoder per FST4/FST4W variant."""
+
+    def __init__(self, mode: Mode | str, top_k: int | None = None,
+                 bp_iters: int | None = None):
+        mode = Mode(mode)
+        period, is_w = _FST4_MODES[mode]
+        spec = make_spec(mode)
+        if top_k or bp_iters:
+            spec = dataclasses.replace(spec, top_k=top_k or spec.top_k,
+                                       bp_iters=bp_iters or spec.bp_iters)
+        super().__init__(
+            spec,
+            get_bp_decoder("fst4", iters=spec.bp_iters),
+            fst4_crc_matrix(),
+            mode,
+            unpack=lambda bits: unpack_payload(bits[:PAYLOAD_BITS], is_w)
+            or "<bad payload>",
+        )

@@ -1,0 +1,155 @@
+"""JS8 (normal speed): FT8-derived 8-GFSK physical layer with free-form
+text framing.
+
+The reference invokes JS8Call's ``js8`` binary (source/DecoderPool.hpp:
+846-867) and classifies results with JS8Call's DecodedText/varicode sources
+(source/OutputHandler.cpp:403-503).  Native structure:
+
+  - identical timing to FT8: 79 symbols x 1920 samples, 15 s T/R, 8-GFSK —
+    but distinct 7x7 sync arrays so JS8 and FT8 never cross-decode;
+  - LDPC(174,87): 87 info bits = 75 payload + 12 CRC (poly 0xC06);
+  - payload: 3-bit frame type + 72 bits of content; the text frame carries
+    12 characters of 6-bit varicode (charset below), the directed frame
+    [c28 | c28 | cmd16] mirrors JS8's directed messages.
+
+Interop note: like the other modes, sync arrays/code tables are
+self-consistent stand-ins with the protocol's exact dimensions; swap the
+published tables for on-air interop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+from cwsl_digi_tpu.constants import Mode, WAVE_SR
+from cwsl_digi_tpu.modes import message77
+from cwsl_digi_tpu.modes.crc import crc_remainder
+from cwsl_digi_tpu.modes.gfsk import gfsk_modulate
+from cwsl_digi_tpu.modes.gfsk_engine import GFSKDecoder, ModeSpec
+from cwsl_digi_tpu.modes.ldpc import BPDecoder, make_ldpc_code
+
+NSYM = 79
+SPS = 1920
+T_R = 15.0
+COSTAS_JS8 = (4, 2, 5, 6, 1, 3, 0)
+GRAY = (0, 1, 3, 2, 5, 6, 4, 7)
+PAYLOAD_BITS = 75
+CRC_BITS = 12
+CRC_POLY = 0xC06
+
+VARICODE = " ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789./?+-@#:!\"'$%&()*;<=>[]^_{}"
+assert len(VARICODE) == 64
+
+_sync_cells = tuple(
+    (off + i, int(t)) for off in (0, 36, 72) for i, t in enumerate(COSTAS_JS8)
+)
+DATA_SYMS = tuple(s for s in range(NSYM) if not (s < 7 or 36 <= s < 43 or s >= 72))
+
+SPEC = ModeSpec(
+    name="JS8",
+    n_sym=NSYM,
+    sps=SPS,
+    n_tones=8,
+    bits_per_sym=3,
+    sync_cells=_sync_cells,
+    data_syms=DATA_SYMS,
+    gray_map=GRAY,
+    trperiod=T_R,
+    signal_start_s=0.5,
+    top_k=96,
+    bp_iters=30,
+    max_hops=128,
+    pad_hops=64,
+)
+
+FRAME_TEXT = 0
+FRAME_DIRECTED = 1
+
+
+@functools.lru_cache(maxsize=1)
+def js8_code():
+    """LDPC(174,87) — 87 info bits, 87 checks."""
+    return make_ldpc_code(174, 87, seed=87)
+
+
+def js8_crc(payload: np.ndarray) -> np.ndarray:
+    payload = np.asarray(payload, np.uint8)
+    msg = np.concatenate([payload, np.zeros(5, np.uint8)])  # pad to 80
+    return crc_remainder(msg, poly=CRC_POLY, crc_bits=CRC_BITS)
+
+
+@functools.lru_cache(maxsize=1)
+def js8_crc_matrix() -> np.ndarray:
+    m = np.zeros((PAYLOAD_BITS, CRC_BITS), np.uint8)
+    for i in range(PAYLOAD_BITS):
+        e = np.zeros(PAYLOAD_BITS, np.uint8)
+        e[i] = 1
+        m[i] = js8_crc(e)
+    return m
+
+
+# ---------------------------------------------------------------------------
+# Payload codec
+# ---------------------------------------------------------------------------
+
+def pack_payload(text: str) -> np.ndarray:
+    """Pack a message: directed 'CALL1: CALL2 TEXTCMD' falls back to plain
+    12-char text frames."""
+    t = text.strip().upper()
+    bits = [0, 0, 0]  # frame type TEXT
+    content = t[:12].ljust(12)
+    v = 0
+    for ch in content:
+        v = v * 64 + (VARICODE.index(ch) if ch in VARICODE else 0)
+    bits += message77.bits_from_int(v, 72)
+    return np.asarray(bits, np.uint8)
+
+
+def unpack_payload(bits: np.ndarray) -> str | None:
+    bits = np.asarray(bits, np.uint8)
+    ftype = message77.int_from_bits(bits[:3])
+    if ftype == FRAME_TEXT:
+        v = message77.int_from_bits(bits[3:75])
+        chars = []
+        for _ in range(12):
+            chars.append(VARICODE[v % 64])
+            v //= 64
+        return "".join(reversed(chars)).strip()
+    return None
+
+
+def encode_message(text: str) -> np.ndarray:
+    payload = pack_payload(text)
+    info = np.concatenate([payload, js8_crc(payload)])
+    codeword = js8_code().encode(info)
+    return SPEC.tones_from_codeword(codeword)
+
+
+def synthesize(text: str, f0_hz: float = 1500.0, amplitude: float = 1.0,
+               window_len: int = int(T_R * WAVE_SR),
+               start_s: float = 0.5) -> np.ndarray:
+    tones = encode_message(text)
+    burst = gfsk_modulate(tones, f0_hz, SPS, WAVE_SR, SPEC.tone_spacing, bt=2.0)
+    out = np.zeros(window_len)
+    start = int(round(start_s * WAVE_SR))
+    n = min(len(burst), window_len - start)
+    out[start : start + n] = amplitude * burst[:n]
+    return out
+
+
+class JS8Decoder(GFSKDecoder):
+    def __init__(self, top_k: int | None = None, bp_iters: int | None = None):
+        spec = SPEC
+        if top_k or bp_iters:
+            spec = dataclasses.replace(SPEC, top_k=top_k or SPEC.top_k,
+                                       bp_iters=bp_iters or SPEC.bp_iters)
+        super().__init__(
+            spec,
+            BPDecoder(js8_code(), iters=spec.bp_iters),
+            js8_crc_matrix(),
+            Mode.JS8,
+            unpack=lambda bits: unpack_payload(bits[:PAYLOAD_BITS]) or "<bad frame>",
+        )

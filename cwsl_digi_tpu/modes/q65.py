@@ -1,0 +1,115 @@
+"""Q65-30: 65-tone FSK, 30 s T/R, (63,13) block code over GF(64).
+
+The reference invokes ``jt9 -3 -p 30`` (source/DecoderPool.hpp:645-647,
+params at :478-489) and parses output at source/OutputHandler.cpp:697-779.
+
+Native structure (Q65-30A-like parameters): 85 symbol intervals x 3600
+samples (0.3 s) = 25.5 s in the 30 s slot; 22 sync intervals at tone 0,
+63 data intervals carrying one GF(64) symbol on tone ``1 + value``.
+The 13 info symbols (78 bits) carry the standard 77-bit payload
+(message77.py) plus one pad bit, so the whole FT8 message grammar is
+available.
+
+Interop note: the real Q65 inner code is a q-ary repeat-accumulate code;
+this build uses RS(63,13) — same (n, k) over the same alphabet — decoded
+with errors-and-erasures.  Swap the codec class for on-air interop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cwsl_digi_tpu.constants import Mode, WAVE_SR
+from cwsl_digi_tpu.modes import message77
+from cwsl_digi_tpu.modes.gfsk import gfsk_modulate
+from cwsl_digi_tpu.modes.qary_engine import QaryDecoder, QarySpec
+from cwsl_digi_tpu.modes.rs64 import RS63
+
+NSYM = 85
+SPS = 3600
+T_R = 30.0
+TONE_SPACING = WAVE_SR / SPS          # 3.333 Hz
+N_DATA = 63
+TONE_OFFSET = 1
+
+
+def _make_sync_syms(n_sync: int = 22, seed: int = 0x5136) -> tuple[int, ...]:
+    rng = np.random.default_rng(seed)
+    picks = np.sort(rng.permutation(NSYM)[:n_sync])
+    return tuple(int(i) for i in picks)
+
+
+SYNC_SYMS = _make_sync_syms()
+DATA_SYMS = tuple(i for i in range(NSYM) if i not in set(SYNC_SYMS))
+assert len(DATA_SYMS) == N_DATA
+
+SPEC = QarySpec(
+    name="Q65-30",
+    n_sym=NSYM,
+    sps=SPS,
+    n_tones=64,
+    tone_offset=TONE_OFFSET,
+    sync_syms=SYNC_SYMS,
+    data_syms=DATA_SYMS,
+    trperiod=T_R,
+    signal_start_s=0.5,
+    fmin_hz=400.0,
+    fmax_hz=2200.0,
+    top_k=24,
+    max_hops=64,
+    pad_hops=32,
+)
+
+_RS = RS63(13)
+
+
+def pack_message(text: str) -> np.ndarray:
+    bits77 = message77.pack77(text)
+    bits78 = np.concatenate([bits77, np.zeros(1, np.uint8)])
+    return np.asarray(
+        [message77.int_from_bits(bits78[6 * i : 6 * i + 6]) for i in range(13)],
+        np.int64,
+    )
+
+
+def unpack_message(symbols: np.ndarray) -> str | None:
+    bits = []
+    for s in symbols:
+        bits.extend(message77.bits_from_int(int(s), 6))
+    try:
+        msg = message77.unpack77(np.asarray(bits[:77], np.uint8))
+    except (IndexError, ValueError, AssertionError):
+        return None
+    if msg.text.startswith("<unsupported"):
+        return None
+    return msg.text
+
+
+def encode_message(text: str) -> np.ndarray:
+    cw = _RS.encode(pack_message(text))
+    tones = np.zeros(NSYM, np.int32)
+    tones[list(DATA_SYMS)] = TONE_OFFSET + cw.astype(np.int32)
+    return tones
+
+
+def synthesize(text: str, f0_hz: float = 1000.0, amplitude: float = 1.0,
+               window_len: int = int(T_R * WAVE_SR),
+               start_s: float = 0.5) -> np.ndarray:
+    tones = encode_message(text)
+    burst = gfsk_modulate(tones, f0_hz, SPS, WAVE_SR, TONE_SPACING, bt=2.0)
+    out = np.zeros(window_len)
+    start = int(round(start_s * WAVE_SR))
+    n = min(len(burst), window_len - start)
+    out[start : start + n] = amplitude * burst[:n]
+    return out
+
+
+class Q65Decoder(QaryDecoder):
+    mode = Mode.Q65_30
+
+    def __init__(self, top_k: int | None = None):
+        import dataclasses as _dc
+
+        spec = _dc.replace(SPEC, top_k=top_k) if top_k else SPEC
+        super().__init__(spec, _RS, Mode.Q65_30,
+                         unpack=lambda info: unpack_message(info))

@@ -1,0 +1,199 @@
+"""Generic batched decoder engine for q-ary single-tone-per-symbol modes
+(JT65, Q65): sync tone at known symbol positions, data symbols carrying one
+GF(64) value as a tone index.
+
+Device side: spectrogram, sync-tone correlation over (t0, f0), top-K
+candidates, per-symbol tone-energy gather -> best/second-best values and
+margins.  Host side: Reed-Solomon errors-and-erasures decoding with a
+progressive erasure schedule on the least-confident symbols (the native
+stand-in for the Koetter-Vardy style soft decoding the external jt9 uses).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cwsl_digi_tpu.constants import WAVE_SR
+
+
+@dataclasses.dataclass(frozen=True)
+class QarySpec:
+    name: str
+    n_sym: int
+    sps: int
+    n_tones: int                 # data alphabet size (64)
+    tone_offset: int             # data tone index of value 0 (in tone steps)
+    sync_syms: tuple[int, ...]   # symbol indices carrying the sync tone (0)
+    data_syms: tuple[int, ...]
+    trperiod: float
+    signal_start_s: float = 0.5
+    fmin_hz: float = 200.0
+    fmax_hz: float = 2700.0
+    top_k: int = 32
+    max_hops: int = 96
+    pad_hops: int = 48
+
+    @property
+    def hop(self) -> int:
+        return self.sps // 4
+
+    @property
+    def nfft(self) -> int:
+        return 2 * self.sps
+
+    @property
+    def bin_hz(self) -> float:
+        return WAVE_SR / self.nfft
+
+    @property
+    def tone_spacing(self) -> float:
+        return WAVE_SR / self.sps
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def qary_decode_program(spec: QarySpec, shapes, audio, window,
+                        data_syms, sync_syms):
+    (n_samples,) = shapes
+    b = audio.shape[0]
+    sps, hop, nfft = spec.sps, spec.hop, spec.nfft
+    n_hops = (n_samples - sps) // hop + 1
+    fmin_bin = int(spec.fmin_hz / spec.bin_hz)
+    fmax_bin = int(spec.fmax_hz / spec.bin_hz)
+    # headroom for the highest data tone
+    n_bins = fmax_bin - fmin_bin + 2 * (spec.tone_offset + spec.n_tones)
+
+    idx = jnp.arange(n_hops)[:, None] * hop + jnp.arange(sps)[None, :]
+    frames = audio[:, idx] * window[None, None, :]
+    power = jnp.abs(jnp.fft.rfft(frames, n=nfft, axis=-1)) ** 2
+    power = power[:, :, fmin_bin : fmin_bin + n_bins]
+    power = jnp.pad(power, ((0, 0), (spec.pad_hops, spec.pad_hops), (0, 0)))
+
+    # sync correlation at tone 0
+    n_t0 = spec.max_hops
+    n_f0 = fmax_bin - fmin_bin
+    acc = jnp.zeros((b, n_t0, n_f0), jnp.float32)
+    for s in spec.sync_syms:
+        h0 = 4 * s
+        acc = acc + jax.lax.slice(power, (0, h0, 0), (b, h0 + n_t0, n_f0))
+    base = jnp.mean(power, axis=(1, 2), keepdims=True) * len(spec.sync_syms)
+    score = acc / (base + 1e-30)
+
+    flat = score.reshape(b, -1)
+    top_val, top_idx = jax.lax.top_k(flat, spec.top_k)
+    t0 = top_idx // n_f0
+    f0 = top_idx % n_f0
+
+    # data-symbol tone energies
+    sym_hops = t0[:, :, None] + 4 * data_syms[None, None, :]
+    tone_bins = (f0[:, :, None]
+                 + 2 * (spec.tone_offset
+                        + jnp.arange(spec.n_tones, dtype=jnp.int32))[None, None, :])
+    bb = jnp.arange(b)[:, None, None, None]
+    e = power[bb, sym_hops[:, :, :, None], tone_bins[:, :, None, :]]
+    # best and second-best tone per symbol + margin (confidence)
+    best = jnp.argmax(e, axis=-1).astype(jnp.int32)         # [B, K, n_data]
+    e_best = jnp.max(e, axis=-1)
+    e2 = jnp.max(jnp.where(
+        jax.nn.one_hot(best, spec.n_tones, dtype=jnp.bool_), -jnp.inf, e), axis=-1)
+    margin = jnp.log(e_best + 1e-30) - jnp.log(e2 + 1e-30)
+
+    noise = jnp.median(power, axis=(1, 2))
+    sig = top_val * base[:, :, 0] / len(spec.sync_syms)
+    snr = 10.0 * jnp.log10((sig + 1e-30) / (noise[:, None] + 1e-30)) \
+        - 10.0 * np.float32(np.log10(2500.0 / spec.tone_spacing))
+
+    return {
+        "symbols": best,          # [B, K, n_data] hard GF(64) values
+        "margin": margin,         # [B, K, n_data] log-energy margins
+        "score": top_val,
+        "t0_hop": t0 - spec.pad_hops,
+        "f0_bin": f0 + fmin_bin,
+        "snr": snr,
+    }
+
+
+# progressive erasure schedule: erase the f least-confident symbols
+ERASURE_SCHEDULE = (0, 8, 16, 24, 32, 40)
+
+
+class QaryDecoder:
+    """Host wrapper: device symbol demod + host RS errors-and-erasures."""
+
+    def __init__(self, spec: QarySpec, rs, mode, unpack, min_score: float = 1.5):
+        self.spec = spec
+        self.rs = rs
+        self.mode = mode
+        self.unpack = unpack          # (info_symbols) -> text or None
+        self.min_score = min_score
+        self._window = np.hanning(spec.sps).astype(np.float32)
+        self._data_syms = np.asarray(spec.data_syms, np.int32)
+        self._sync_syms = np.asarray(spec.sync_syms, np.int32)
+
+    def decode_arrays(self, audio: np.ndarray) -> dict[str, np.ndarray]:
+        audio = np.asarray(audio, np.float32)
+        if audio.ndim == 1:
+            audio = audio[None, :]
+        out = qary_decode_program(self.spec, (audio.shape[1],), audio,
+                                  self._window, self._data_syms,
+                                  self._sync_syms)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def decode(self, audio: np.ndarray):
+        from cwsl_digi_tpu.modes.base import DecodeResult
+
+        audio = np.asarray(audio, np.float32)
+        if audio.ndim == 1:
+            audio = audio[None, :]
+        out = self.decode_arrays(audio)
+        spec = self.spec
+        results = []
+        for wi in range(audio.shape[0]):
+            seen: dict[bytes, DecodeResult] = {}
+            for k in range(spec.top_k):
+                if out["score"][wi, k] < self.min_score:
+                    continue
+                syms = out["symbols"][wi, k].astype(np.int64)
+                margin = out["margin"][wi, k]
+                order = np.argsort(margin)      # least confident first
+                info = None
+                for f in ERASURE_SCHEDULE:
+                    if f > self.rs.n_parity:
+                        break
+                    erasures = list(map(int, order[:f]))
+                    info = self.rs.decode(syms.copy(), erasures=erasures)
+                    if info is not None:
+                        break
+                if info is None:
+                    continue
+                # validate: re-encode, require strong agreement with the
+                # received hard symbols (RS can "decode" anything when
+                # erasure count approaches n-k)
+                cw = self.rs.encode(info)
+                agree = float(np.mean(cw == syms))
+                if agree < 0.55:
+                    continue
+                text = self.unpack(np.asarray(info))
+                if text is None:
+                    continue
+                key = bytes(np.asarray(info, np.uint8))
+                dt = out["t0_hop"][wi, k] * spec.hop / WAVE_SR - spec.signal_start_s
+                freq = out["f0_bin"][wi, k] * spec.bin_hz
+                r = DecodeResult(
+                    message=text,
+                    snr_db=round(float(out["snr"][wi, k]), 1),
+                    dt_s=round(float(dt), 2),
+                    freq_hz=round(float(freq), 1),
+                    score=float(out["score"][wi, k]),
+                    mode=self.mode,
+                    payload_bits=np.asarray(info, np.uint8),
+                )
+                prev = seen.get(key)
+                if prev is None or r.score > prev.score:
+                    seen[key] = r
+            results.append(sorted(seen.values(), key=lambda r: -r.score))
+        return results

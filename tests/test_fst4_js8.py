@@ -1,0 +1,81 @@
+"""FST4/FST4W family and JS8 decoder tests."""
+
+import numpy as np
+import pytest
+
+from cwsl_digi_tpu.constants import Mode
+from cwsl_digi_tpu.modes import fst4, js8
+from cwsl_digi_tpu.modes.base import get_decoder
+from cwsl_digi_tpu.modes.gfsk import add_noise_at_snr
+
+
+def test_fst4_crc_matrix():
+    rng = np.random.default_rng(0)
+    m = fst4.fst4_crc_matrix()
+    p = rng.integers(0, 2, 77).astype(np.uint8)
+    np.testing.assert_array_equal((p @ m) % 2, fst4.fst4_crc(p))
+
+
+def test_fst4_specs_cover_all_variants():
+    for mode, (period, is_w) in fst4._FST4_MODES.items():
+        spec = fst4.make_spec(mode)
+        burst_s = spec.n_sym * spec.sps / 12000
+        assert burst_s < period, f"{mode}: burst {burst_s}s exceeds slot"
+        assert burst_s > 0.75 * period
+
+
+def test_fst4_60_decode():
+    dec = fst4.FST4Decoder(Mode.FST4_60, top_k=16, bp_iters=30)
+    text = "K1ABC W9XYZ -15"
+    audio = fst4.synthesize(text, Mode.FST4_60, f0_hz=1000.0)
+    res = dec.decode(audio)[0]
+    assert res and res[0].message == text
+    rng = np.random.default_rng(1)
+    noisy = add_noise_at_snr(fst4.synthesize(text, Mode.FST4_60, 1100.0),
+                             -20.0, 12000, rng)
+    res = dec.decode(noisy)[0]
+    assert any(r.message == text for r in res)
+
+
+def test_fst4w_120_decode():
+    dec = fst4.FST4Decoder(Mode.FST4W_120, top_k=16, bp_iters=30)
+    text = "W2AXR FN13 30"
+    audio = fst4.synthesize(text, Mode.FST4W_120, f0_hz=1000.0)
+    res = dec.decode(audio)[0]
+    assert res and res[0].message == text
+
+
+def test_fst4_noise_rejection():
+    dec = fst4.FST4Decoder(Mode.FST4_60, top_k=16, bp_iters=20)
+    rng = np.random.default_rng(2)
+    noise = rng.standard_normal(int(60 * 12000)).astype(np.float32)
+    assert dec.decode(noise)[0] == []
+
+
+def test_js8_payload_roundtrip():
+    for text in ["CQ CQ CQ", "HELLO WORLD?", "W2AXR: HI BOB"]:
+        bits = js8.pack_payload(text)
+        assert bits.shape == (75,)
+        assert js8.unpack_payload(bits) == text[:12].strip()
+
+
+def test_js8_decode_and_ft8_isolation():
+    dec = js8.JS8Decoder(top_k=32, bp_iters=25)
+    text = "HELLO WORLD"
+    audio = js8.synthesize(text, f0_hz=1500.0)
+    res = dec.decode(audio)[0]
+    assert res and res[0].message == text
+    # an FT8 signal must NOT decode in JS8 (different sync + code)
+    from cwsl_digi_tpu.modes import ft8
+
+    ft8_audio = ft8.synthesize("CQ W2AXR FN13", 1500.0)
+    rng = np.random.default_rng(3)
+    ft8_audio = add_noise_at_snr(ft8_audio, 10.0, 12000, rng)
+    assert dec.decode(ft8_audio)[0] == []
+
+
+def test_registry_constructs_all_modes():
+    for mode in [Mode.FT8, Mode.FT4, Mode.WSPR, Mode.JT65, Mode.Q65_30,
+                 Mode.JS8, Mode.FST4_60, Mode.FST4W_120]:
+        dec = get_decoder(mode)
+        assert hasattr(dec, "decode")

@@ -1,0 +1,87 @@
+"""JT65 and Q65-30 native decoder tests (RS over GF(64) + q-ary engine)."""
+
+import numpy as np
+import pytest
+
+from cwsl_digi_tpu.modes import jt65, q65
+from cwsl_digi_tpu.modes.gfsk import add_noise_at_snr
+from cwsl_digi_tpu.modes.rs64 import RS63
+
+
+def test_rs63_error_and_erasure_correction():
+    rng = np.random.default_rng(0)
+    rs = RS63(12)
+    info = rng.integers(0, 64, 12)
+    cw = rs.encode(info)
+    bad = cw.copy()
+    err_pos = rng.choice(63, 25, replace=False)   # t = 25 errors correctable
+    for p in err_pos:
+        bad[p] ^= rng.integers(1, 64)
+    assert np.all(rs.decode(bad) == info)
+    clean_pos = next(p for p in range(63) if p not in set(err_pos))
+    bad[clean_pos] ^= 1  # 26 errors -> fail or miscorrect, never silently "fix"
+    out = rs.decode(bad)
+    assert out is None or not np.all(out == info)
+
+
+def test_jt65_message_roundtrip():
+    for text in ["CQ W2AXR FN13", "K1ABC W9XYZ -15", "K1ABC W9XYZ RR73",
+                 "W2AXR K1ABC R FN42"]:
+        syms = jt65.pack_message(text)
+        assert syms.shape == (12,) and syms.max() < 64
+        assert jt65.unpack_message(syms) == text
+    with pytest.raises(ValueError):
+        jt65.pack_message("TNX FER QSO 73")   # free text unsupported
+
+
+def test_jt65_tones():
+    tones = jt65.encode_message("CQ W2AXR FN13")
+    assert tones.shape == (126,)
+    assert np.all(tones[list(jt65.SYNC_SYMS)] == 0)
+    data = tones[list(jt65.DATA_SYMS)]
+    assert data.min() >= 2 and data.max() <= 65
+
+
+def test_jt65_decode_clean_and_noisy():
+    dec = jt65.JT65Decoder(top_k=8)
+    text = "CQ W2AXR FN13"
+    audio = jt65.synthesize(text, f0_hz=1270.5)
+    res = dec.decode(audio)[0]
+    assert res and res[0].message == text
+    rng = np.random.default_rng(1)
+    noisy = add_noise_at_snr(jt65.synthesize(text, 900.0), -18.0, 12000, rng)
+    res = dec.decode(noisy)[0]
+    assert any(r.message == text for r in res)
+
+
+def test_jt65_noise_rejection():
+    dec = jt65.JT65Decoder(top_k=8)
+    rng = np.random.default_rng(2)
+    noise = rng.standard_normal(int(jt65.T_R * 12000)).astype(np.float32)
+    assert dec.decode(noise)[0] == []
+
+
+def test_q65_message_roundtrip():
+    for text in ["CQ W2AXR FN13", "K1ABC W9XYZ R-08"]:
+        syms = q65.pack_message(text)
+        assert syms.shape == (13,)
+        assert q65.unpack_message(syms) == text
+
+
+def test_q65_decode():
+    dec = q65.Q65Decoder(top_k=8)
+    text = "K1ABC W9XYZ R-08"
+    audio = q65.synthesize(text, f0_hz=1000.0)
+    res = dec.decode(audio)[0]
+    assert res and res[0].message == text
+    rng = np.random.default_rng(3)
+    noisy = add_noise_at_snr(q65.synthesize(text, 1200.0), -16.0, 12000, rng)
+    res = dec.decode(noisy)[0]
+    assert any(r.message == text for r in res)
+
+
+def test_q65_noise_rejection():
+    dec = q65.Q65Decoder(top_k=8)
+    rng = np.random.default_rng(4)
+    noise = rng.standard_normal(int(q65.T_R * 12000)).astype(np.float32)
+    assert dec.decode(noise)[0] == []
