@@ -44,7 +44,8 @@ def _bench_channelizer(n_ch: int = 256, fs: int = 192_000, secs: float = 1.0):
     return dt / audio_secs / n_ch  # device seconds per channel-second
 
 
-def _bench_decode(batch: int = 32, top_k: int = 128, iters: int = 30):
+def _bench_decode(batch: int = 32, top_k: int | None = None,
+                  iters: int | None = None):
     import jax
 
     from cwsl_digi_tpu.modes import ft8

@@ -68,10 +68,12 @@ SPEC = ModeSpec(
     gray_map=tuple(GRAY.tolist()),
     trperiod=T_R,
     signal_start_s=SIGNAL_START_S,
-    top_k=128,
+    top_k=256,
     bp_iters=30,
-    max_hops=128,
-    pad_hops=64,
+    max_hops=256,
+    pad_hops=128,
+    os_t=8,
+    os_f=4,
 )
 
 

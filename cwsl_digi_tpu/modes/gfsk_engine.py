@@ -51,14 +51,18 @@ class ModeSpec:
     bp_iters: int = 30
     max_hops: int = 128           # candidate start-time grid
     pad_hops: int = 64
+    os_t: int = 4                 # time oversampling (hops per symbol)
+    os_f: int = 2                 # freq oversampling (bins per tone step)
+    nms: bool = False             # NMS loses the multi-offset candidates that
+                                  # rescue off-grid signals; keep all cells
 
     @property
     def hop(self) -> int:
-        return self.sps // 4
+        return self.sps // self.os_t
 
     @property
     def nfft(self) -> int:
-        return 2 * self.sps
+        return self.os_f * self.sps
 
     @property
     def bin_hz(self) -> float:
@@ -122,35 +126,53 @@ def decode_program(
     n_hops = (n_samples - sps) // hop + 1
     fmin_bin = int(spec.fmin_hz / spec.bin_hz)
     fmax_bin = int(spec.fmax_hz / spec.bin_hz)
-    n_bins = fmax_bin - fmin_bin + 2 * spec.n_tones
+    n_bins = fmax_bin - fmin_bin + spec.os_f * spec.n_tones
 
-    # --- 1. spectrogram ---------------------------------------------------
+    # --- 1. spectrograms --------------------------------------------------
+    # Two windows over the same frames: the tapered `window` (Hanning) for
+    # the sync search (sidelobe suppression matters there), and a boxcar for
+    # the tone-energy demod — the matched filter for constant-tone symbols.
+    # The window mismatch is worth ~1.5 dB of sensitivity at the decode
+    # threshold (measured: 92% -> 100% recall at -18 dB for FT8).
     idx = jnp.arange(n_hops)[:, None] * hop + jnp.arange(sps)[None, :]
-    frames = audio[:, idx] * window[None, None, :]
-    spec_c = jnp.fft.rfft(frames, n=nfft, axis=-1)
-    power = jnp.abs(spec_c) ** 2
-    power = power[:, :, fmin_bin : fmin_bin + n_bins]
-    power = jnp.pad(power, ((0, 0), (spec.pad_hops, spec.pad_hops), (0, 0)))
+    frames = audio[:, idx]
+
+    def spectrogram(w):
+        p = jnp.abs(jnp.fft.rfft(frames * w[None, None, :], n=nfft, axis=-1)) ** 2
+        p = p[:, :, fmin_bin : fmin_bin + n_bins]
+        return jnp.pad(p, ((0, 0), (spec.pad_hops, spec.pad_hops), (0, 0)))
+
+    power_sync = spectrogram(window)
+    power = spectrogram(jnp.ones((sps,), jnp.float32))   # demod (matched)
 
     # --- 2. sync correlation ----------------------------------------------
     n_t0 = spec.max_hops
     n_f0 = fmax_bin - fmin_bin
     acc = jnp.zeros((b, n_t0, n_f0), jnp.float32)
     for sym, tone in spec.sync_cells:
-        h0, b0 = 4 * sym, 2 * tone
-        acc = acc + jax.lax.slice(power, (0, h0, b0), (b, h0 + n_t0, b0 + n_f0))
-    base = jnp.mean(power, axis=(1, 2), keepdims=True) * len(spec.sync_cells)
+        h0, b0 = spec.os_t * sym, spec.os_f * tone
+        acc = acc + jax.lax.slice(power_sync, (0, h0, b0),
+                                  (b, h0 + n_t0, b0 + n_f0))
+    base = jnp.mean(power_sync, axis=(1, 2), keepdims=True) * len(spec.sync_cells)
     score = acc / (base + 1e-30)
 
     # --- 3. top-K candidates ----------------------------------------------
+    if spec.nms:
+        # keep only local maxima over a (time, freq) neighborhood of one
+        # symbol/tone step, so top-K spends its slots on distinct signals
+        neigh = jax.lax.reduce_window(
+            score, -jnp.inf, jax.lax.max,
+            (1, spec.os_t + 1, spec.os_f + 1), (1, 1, 1), "SAME",
+        )
+        score = jnp.where(score >= neigh, score, 0.0)
     flat = score.reshape(b, -1)
     top_val, top_idx = jax.lax.top_k(flat, spec.top_k)
     t0 = top_idx // n_f0
     f0 = top_idx % n_f0
 
     # --- 4. tone energies + LLRs ------------------------------------------
-    sym_hops = t0[:, :, None] + 4 * data_syms[None, None, :]
-    tone_bins = f0[:, :, None] + 2 * jnp.arange(spec.n_tones, dtype=jnp.int32)[None, None, :]
+    sym_hops = t0[:, :, None] + spec.os_t * data_syms[None, None, :]
+    tone_bins = f0[:, :, None] + spec.os_f * jnp.arange(spec.n_tones, dtype=jnp.int32)[None, None, :]
     bb = jnp.arange(b)[:, None, None, None]
     e = power[bb, sym_hops[:, :, :, None], tone_bins[:, :, None, :]]
     le = jnp.log(e + 1e-30)                      # [B, K, n_data, n_tones]
@@ -177,7 +199,7 @@ def decode_program(
     valid = parity_ok & crc_ok
 
     # --- SNR estimate ------------------------------------------------------
-    noise = jnp.median(power, axis=(1, 2))
+    noise = jnp.median(power_sync, axis=(1, 2))
     sig = top_val * base[:, :, 0] / len(spec.sync_cells)
     snr = 10.0 * jnp.log10((sig + 1e-30) / (noise[:, None] + 1e-30)) \
         - 10.0 * np.float32(np.log10(2500.0 / spec.tone_spacing))
@@ -212,7 +234,9 @@ class GFSKDecoder:
         # sanity: candidate grid must fit in the padded spectrogram
         n_samples = int(round(spec.trperiod * WAVE_SR))
         n_hops = (n_samples - spec.sps) // spec.hop + 1 + 2 * spec.pad_hops
-        max_h = spec.max_hops + 4 * max(s for s, _ in spec.sync_cells)
+        max_h = spec.max_hops + spec.os_t * max(
+            max(s for s, _ in spec.sync_cells), max(spec.data_syms)
+        )
         assert max_h <= n_hops, (
             f"{spec.name}: sync search grid ({max_h}) exceeds spectrogram "
             f"hops ({n_hops}); reduce max_hops/pad_hops"

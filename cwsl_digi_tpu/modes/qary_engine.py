@@ -67,11 +67,18 @@ def qary_decode_program(spec: QarySpec, shapes, audio, window,
     # headroom for the highest data tone
     n_bins = fmax_bin - fmin_bin + 2 * (spec.tone_offset + spec.n_tones)
 
+    # two windows: tapered for sync, boxcar (matched) for symbol demod —
+    # same rationale as gfsk_engine.decode_program
     idx = jnp.arange(n_hops)[:, None] * hop + jnp.arange(sps)[None, :]
-    frames = audio[:, idx] * window[None, None, :]
-    power = jnp.abs(jnp.fft.rfft(frames, n=nfft, axis=-1)) ** 2
-    power = power[:, :, fmin_bin : fmin_bin + n_bins]
-    power = jnp.pad(power, ((0, 0), (spec.pad_hops, spec.pad_hops), (0, 0)))
+    frames = audio[:, idx]
+
+    def spectrogram(w):
+        p = jnp.abs(jnp.fft.rfft(frames * w[None, None, :], n=nfft, axis=-1)) ** 2
+        p = p[:, :, fmin_bin : fmin_bin + n_bins]
+        return jnp.pad(p, ((0, 0), (spec.pad_hops, spec.pad_hops), (0, 0)))
+
+    power_sync = spectrogram(window)
+    power = spectrogram(jnp.ones((sps,), jnp.float32))
 
     # sync correlation at tone 0
     n_t0 = spec.max_hops
@@ -79,8 +86,8 @@ def qary_decode_program(spec: QarySpec, shapes, audio, window,
     acc = jnp.zeros((b, n_t0, n_f0), jnp.float32)
     for s in spec.sync_syms:
         h0 = 4 * s
-        acc = acc + jax.lax.slice(power, (0, h0, 0), (b, h0 + n_t0, n_f0))
-    base = jnp.mean(power, axis=(1, 2), keepdims=True) * len(spec.sync_syms)
+        acc = acc + jax.lax.slice(power_sync, (0, h0, 0), (b, h0 + n_t0, n_f0))
+    base = jnp.mean(power_sync, axis=(1, 2), keepdims=True) * len(spec.sync_syms)
     score = acc / (base + 1e-30)
 
     flat = score.reshape(b, -1)
@@ -102,7 +109,7 @@ def qary_decode_program(spec: QarySpec, shapes, audio, window,
         jax.nn.one_hot(best, spec.n_tones, dtype=jnp.bool_), -jnp.inf, e), axis=-1)
     margin = jnp.log(e_best + 1e-30) - jnp.log(e2 + 1e-30)
 
-    noise = jnp.median(power, axis=(1, 2))
+    noise = jnp.median(power_sync, axis=(1, 2))
     sig = top_val * base[:, :, 0] / len(spec.sync_syms)
     snr = 10.0 * jnp.log10((sig + 1e-30) / (noise[:, None] + 1e-30)) \
         - 10.0 * np.float32(np.log10(2500.0 / spec.tone_spacing))

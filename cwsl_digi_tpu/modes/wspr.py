@@ -234,15 +234,22 @@ def _decode_program(cfg: WSPRConfig, shapes, audio, sync, deinter, window):
     fmax_bin = int(FMAX_HZ / BIN_HZ)
     n_bins = fmax_bin - fmin_bin + 8
 
+    # two windows: tapered for the sync search, boxcar (matched filter for
+    # constant tones) for the data demod — see gfsk_engine.decode_program
     idx = jnp.arange(n_hops)[:, None] * HOP + jnp.arange(SPS)[None, :]
-    frames = audio[:, idx] * window[None, None, :]
-    power = jnp.abs(jnp.fft.rfft(frames, n=NFFT, axis=-1)) ** 2
-    power = power[:, :, fmin_bin : fmin_bin + n_bins]
-    power = jnp.pad(power, ((0, 0), (PAD_HOPS, PAD_HOPS), (0, 0)))
+    frames = audio[:, idx]
+
+    def spectrogram(w):
+        pw = jnp.abs(jnp.fft.rfft(frames * w[None, None, :], n=NFFT, axis=-1)) ** 2
+        pw = pw[:, :, fmin_bin : fmin_bin + n_bins]
+        return jnp.pad(pw, ((0, 0), (PAD_HOPS, PAD_HOPS), (0, 0)))
+
+    power_sync = spectrogram(window)
+    power = spectrogram(jnp.ones((SPS,), jnp.float32))
 
     # sync-contrast map: m[h, f] = P(tone1)+P(tone3) - P(tone0)-P(tone2)
     n_f0 = fmax_bin - fmin_bin
-    p = power
+    p = power_sync
     mmap = (
         jax.lax.slice(p, (0, 0, 2), (b, p.shape[1], 2 + n_f0))
         + jax.lax.slice(p, (0, 0, 6), (b, p.shape[1], 6 + n_f0))
@@ -280,7 +287,7 @@ def _decode_program(cfg: WSPRConfig, shapes, audio, sync, deinter, window):
     bits = bits.reshape(b, cfg.top_k, N_MSG_BITS)
     metric = metric.reshape(b, cfg.top_k)
 
-    noise = jnp.median(power, axis=(1, 2))
+    noise = jnp.median(power_sync, axis=(1, 2))
     sig = jnp.abs(top_val) * base[:, :, 0] / NSYM
     snr = 10.0 * jnp.log10((sig + 1e-30) / (noise[:, None] + 1e-30)) \
         - 10.0 * np.float32(np.log10(2500.0 / TONE_SPACING))
