@@ -209,9 +209,16 @@ def open_source(spec: str, sample_rate: int = 0, lo_freq: int = 0,
     if kind == "file":
         return ReplaySource(rest, sample_rate, lo_freq, block_size)
     if kind == "shm":
-        from cwsl_digi_tpu.sdr.shm import ShmSource
+        # prefer the native C++ reader (reference's ingest is native too);
+        # fall back to the pure-Python reader — identical wire layout
+        try:
+            from cwsl_digi_tpu.native import NativeShmSource
 
-        return ShmSource(rest)
+            return NativeShmSource(rest)
+        except Exception:
+            from cwsl_digi_tpu.sdr.shm import ShmSource
+
+            return ShmSource(rest)
     if kind == "tcp":
         host, _, port = rest.rpartition(":")
         return SocketSource(host, int(port), sample_rate, lo_freq, block_size)
