@@ -114,6 +114,7 @@ def make_spec(mode: Mode) -> ModeSpec:
         bp_iters=35,
         max_hops=max_hops,
         pad_hops=pad_hops,
+        bt=1.0,
     )
 
 

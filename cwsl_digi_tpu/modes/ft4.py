@@ -62,6 +62,7 @@ SPEC = ModeSpec(
     bp_iters=30,
     max_hops=96,
     pad_hops=48,
+    bt=1.0,
 )
 
 

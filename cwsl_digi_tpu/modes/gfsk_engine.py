@@ -55,6 +55,9 @@ class ModeSpec:
     os_f: int = 2                 # freq oversampling (bins per tone step)
     nms: bool = False             # NMS loses the multi-offset candidates that
                                   # rescue off-grid signals; keep all cells
+    depth: int = 2                # decode passes with signal subtraction
+                                  # (reference ftdecoderdepth, config.ini:213)
+    bt: float = 2.0               # GFSK Gaussian BT (for reconstruction)
 
     @property
     def hop(self) -> int:
@@ -253,34 +256,106 @@ class GFSKDecoder:
         )
         return {k: np.asarray(v) for k, v in out.items()}
 
-    def decode(self, audio: np.ndarray):
+    def decode(self, audio: np.ndarray, depth: int | None = None):
+        """Decode with multi-pass signal subtraction.
+
+        The reference's deep decode (``jt9 -d 3``) does iterative
+        subtraction inside the external binary; here each pass decodes the
+        residual after subtracting every already-decoded burst,
+        reconstructed with per-symbol complex gains (robust to the sync
+        grid's residual frequency error).
+        """
         from cwsl_digi_tpu.modes.base import DecodeResult
 
-        out = self.decode_arrays(audio)
+        audio = np.asarray(audio, dtype=np.float32)
+        if audio.ndim == 1:
+            audio = audio[None, :]
+        depth = depth or self.spec.depth
         spec = self.spec
-        n_windows, top_k = out["valid"].shape
         n_payload = self._crc_mat.shape[0]
-        results = []
-        for wi in range(n_windows):
-            seen: dict[bytes, DecodeResult] = {}
-            for k in range(top_k):
-                if not out["valid"][wi, k]:
-                    continue
-                payload = np.asarray(out["payload"][wi, k, :n_payload])
-                key = np.packbits(payload).tobytes()
-                dt = out["t0_hop"][wi, k] * spec.hop / WAVE_SR - spec.signal_start_s
-                freq = out["f0_bin"][wi, k] * spec.bin_hz
-                r = DecodeResult(
-                    message=self.unpack(payload),
-                    snr_db=round(float(out["snr"][wi, k]), 1),
-                    dt_s=round(float(dt), 2),
-                    freq_hz=round(float(freq), 1),
-                    score=float(out["score"][wi, k]),
-                    mode=self.mode,
-                    payload_bits=payload.copy(),
-                )
-                prev = seen.get(key)
-                if prev is None or r.score > prev.score:
-                    seen[key] = r
-            results.append(sorted(seen.values(), key=lambda r: -r.score))
-        return results
+        n_windows = audio.shape[0]
+        seen: list[dict[bytes, DecodeResult]] = [dict() for _ in range(n_windows)]
+        work = audio.copy()
+
+        for _pass in range(max(1, depth)):
+            out = self.decode_arrays(work)
+            new_any = False
+            for wi in range(n_windows):
+                for k in range(spec.top_k):
+                    if not out["valid"][wi, k]:
+                        continue
+                    payload = np.asarray(out["payload"][wi, k, :n_payload])
+                    key = np.packbits(payload).tobytes()
+                    dt = out["t0_hop"][wi, k] * spec.hop / WAVE_SR \
+                        - spec.signal_start_s
+                    freq = out["f0_bin"][wi, k] * spec.bin_hz
+                    r = DecodeResult(
+                        message=self.unpack(payload),
+                        snr_db=round(float(out["snr"][wi, k]), 1),
+                        dt_s=round(float(dt), 2),
+                        freq_hz=round(float(freq), 1),
+                        score=float(out["score"][wi, k]),
+                        mode=self.mode,
+                        payload_bits=payload.copy(),
+                    )
+                    prev = seen[wi].get(key)
+                    if prev is None:
+                        new_any = True
+                        if _pass + 1 < depth:
+                            self._subtract(work[wi], out, wi, k)
+                    if prev is None or r.score > prev.score:
+                        seen[wi][key] = r
+            if not new_any or _pass + 1 >= depth:
+                break
+        return [sorted(s.values(), key=lambda r: -r.score) for s in seen]
+
+    def _subtract(self, audio: np.ndarray, out: dict, wi: int, k: int) -> None:
+        """Subtract one decoded burst in place.
+
+        A per-symbol gain fit would also soak up overlapping *other* signals
+        (two tones a few Hz apart correlate strongly over one symbol), so
+        instead: estimate the residual frequency error from the per-symbol
+        correlation phase slope, rebuild the burst at the refined frequency,
+        and subtract with a single global complex gain — the full-burst
+        reference is nearly orthogonal to any other message's tone sequence.
+        """
+        from cwsl_digi_tpu.modes.gfsk import gfsk_modulate_iq
+
+        spec = self.spec
+        info = np.asarray(out["payload"][wi, k], np.uint8)
+        codeword = self.bp.code.encode(info[: self.bp.code.k])
+        tones = spec.tones_from_codeword(codeword)
+        f0 = out["f0_bin"][wi, k] * spec.bin_hz
+        start = int(out["t0_hop"][wi, k]) * spec.hop
+
+        def window_product(freq):
+            z = gfsk_modulate_iq(tones, freq, spec.sps, WAVE_SR,
+                                 spec.tone_spacing, bt=spec.bt)
+            s0, s1 = max(0, start), min(len(audio), start + len(z))
+            if s1 <= s0:
+                return None, None, (0, 0)
+            return z[s0 - start : s1 - start], audio[s0:s1], (s0, s1)
+
+        zz, seg, _ = window_product(f0)
+        if zz is None:
+            return
+        # residual frequency from per-symbol correlation phase slope
+        sps = spec.sps
+        n_sym = len(zz) // sps
+        c = np.array([
+            np.dot(seg[i * sps : (i + 1) * sps],
+                   np.conj(zz[i * sps : (i + 1) * sps]))
+            for i in range(n_sym)
+        ])
+        if n_sym >= 2:
+            rot = np.sum(c[1:] * np.conj(c[:-1]))
+            dfreq = np.angle(rot) / (2.0 * np.pi * sps / WAVE_SR)
+            # trust only small corrections (within one search bin)
+            if abs(dfreq) < spec.bin_hz:
+                f0 += dfreq
+                zz, seg, _ = window_product(f0)
+        denom = np.sum(np.abs(zz) ** 2)
+        if denom <= 0:
+            return
+        a = 2.0 * np.dot(seg, np.conj(zz)) / denom
+        seg -= np.real(a * zz).astype(np.float32)

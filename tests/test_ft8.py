@@ -68,6 +68,21 @@ def test_decode_with_time_offset(decoder):
     assert results[0].dt_s == pytest.approx(0.8, abs=0.05)
 
 
+def test_multipass_subtraction_uncovers_buried_signal():
+    """Depth>=2 decodes a signal 15 dB under a co-channel strong one
+    (reference deep-decode behavior, ftdecoderdepth config.ini:213-215)."""
+    dec = ft8.FT8Decoder()
+    strong, weak = "CQ W2AXR FN13", "K1ABC W9XYZ -15"
+    a = ft8.synthesize(strong, 1500.0, amplitude=1.0, start_s=0.5)
+    a += ft8.synthesize(weak, 1503.0, amplitude=0.18, start_s=0.62)
+    rng = np.random.default_rng(0)
+    a = add_noise_at_snr(a, -4.0, ft8.WAVE_SR, rng)
+    msgs1 = {r.message for r in dec.decode(a, depth=1)[0]}
+    msgs3 = {r.message for r in dec.decode(a, depth=3)[0]}
+    assert weak not in msgs1 and strong in msgs1
+    assert {strong, weak} <= msgs3
+
+
 def test_no_false_decodes_on_noise(decoder):
     rng = np.random.default_rng(11)
     noise = rng.standard_normal(int(ft8.T_R * ft8.WAVE_SR)).astype(np.float32)
