@@ -60,8 +60,8 @@ SPEC = ModeSpec(
     signal_start_s=0.5,
     top_k=128,
     bp_iters=30,
-    max_hops=96,
-    pad_hops=48,
+    max_hops=160,     # dt search -0.77..+1.15 s (FT4 hops are 12 ms)
+    pad_hops=64,
     bt=1.0,
 )
 

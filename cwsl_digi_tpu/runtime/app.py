@@ -21,6 +21,7 @@ from __future__ import annotations
 import argparse
 import signal
 import sys
+import threading
 import time
 
 from cwsl_digi_tpu.config import Config, load_config
@@ -82,12 +83,16 @@ class App:
             bad_msg_log=cfg.get("logging", "badmsglog") or None,
             log=self.printer.info,
         )
+        keep_wav_dir = None
+        if cfg.get("wsjtx", "keepwav"):
+            keep_wav_dir = cfg.get("wsjtx", "temppath") or "keepwav"
         self.pool = DecoderPool(
             num_workers=cfg.num_decode_slots(),
             max_long_workers=max(1, cfg.max_long_slots()),
             max_data_age_factor=float(cfg.get("wsjtx", "maxdataage")),
             on_result=self._on_result,
             log=self.printer.debug,
+            keep_wav_dir=keep_wav_dir,
         )
 
     def _load_ignored(self) -> list[str]:
@@ -162,7 +167,9 @@ class App:
         anchor = next_period_boundary(15.0)
         self.setup_receivers(utc_anchor=anchor)
 
-        signal.signal(signal.SIGINT, lambda *_: setattr(self, "_terminate", True))
+        if threading.current_thread() is threading.main_thread():
+            signal.signal(signal.SIGINT,
+                          lambda *_: setattr(self, "_terminate", True))
         started = time.monotonic()
         last_status = 0.0
         last_stats = 0.0
@@ -194,7 +201,12 @@ class App:
             if stats_interval and now - last_stats >= stats_interval:
                 last_stats = now
                 labels = [f"{l.freq} {l.mode.value}" for l in self.cfg.decoders]
-                self.printer.info("\n" + self.stats.table(labels))
+                self.printer.info(
+                    "\n" + self.stats.table(labels)
+                    + f"\nDecode workers busy: {self.pool.busy_fraction():.0%}"
+                    f"  windows decoded: {self.pool.count_decoded_windows}"
+                    f"  stale dropped: {self.pool.count_dropped_stale}"
+                )
         self.cleanup()
 
     def cleanup(self) -> None:

@@ -64,6 +64,7 @@ class DecoderPool:
         on_result: Optional[Callable[[DecodeJob, int, DecodeResult], None]] = None,
         log: Callable[[str], None] | None = None,
         decoder_factory: Callable[[Mode], object] = get_decoder,
+        keep_wav_dir: str | None = None,
     ) -> None:
         self.num_workers = max(1, num_workers)
         self.max_long_workers = min(max_long_workers, self.num_workers)
@@ -71,12 +72,18 @@ class DecoderPool:
         self.on_result = on_result or (lambda job, ci, res: None)
         self.log = log or (lambda s: None)
         self._decoder_factory = decoder_factory
+        # `keepwav` (reference: config.ini:209-211, DecoderPool.hpp:1105-1114)
+        self.keep_wav_dir = keep_wav_dir
         self._short: "queue.Queue[DecodeJob]" = queue.Queue()
         self._long: "queue.Queue[DecodeJob]" = queue.Queue()
         self._terminate = threading.Event()
         self._threads: list[threading.Thread] = []
         self.count_decoded_windows = 0
         self.count_dropped_stale = 0
+        # worker utilization over the last 5-minute window (the live version
+        # of the reference's never-started statsLoop, DecoderPool.hpp:270-310)
+        self._busy: list[tuple[float, float]] = []   # (start, end) spans
+        self._busy_lock = threading.Lock()
 
     # -- reference API ------------------------------------------------------
 
@@ -155,14 +162,44 @@ class DecoderPool:
             return None
         return job
 
+    def busy_fraction(self, window_s: float = 300.0) -> float:
+        """Aggregate worker busy fraction over the trailing window."""
+        now = time.monotonic()
+        lo = now - window_s
+        with self._busy_lock:
+            self._busy = [(s, e) for s, e in self._busy if e > lo]
+            busy = sum(min(e, now) - max(s, lo) for s, e in self._busy)
+        return busy / (window_s * self.num_workers)
+
+    def _keep_wav(self, job: DecodeJob) -> None:
+        import uuid
+        from pathlib import Path
+
+        from cwsl_digi_tpu.utils.wav import prepare_audio, write_wav
+
+        d = Path(self.keep_wav_dir)
+        d.mkdir(parents=True, exist_ok=True)
+        for ci in range(job.audio.shape[0]):
+            name = (f"{job.epoch_time}_{job.mode.value}_"
+                    f"{job.base_freqs[ci]}_{uuid.uuid4().hex[:8]}.wav")
+            write_wav(d / name, prepare_audio(job.audio[ci], 0.9))
+
     def _decode(self, job: DecodeJob) -> None:
         t0 = time.monotonic()
+        if self.keep_wav_dir:
+            try:
+                self._keep_wav(job)
+            except OSError as e:
+                self.log(f"keepwav failed: {e}")
         decoder = self._decoder_factory(job.mode)
         try:
             per_channel = decoder.decode(job.audio)
         except Exception as e:  # decoder crash must not kill the worker
             self.log(f"### decoder error for {job.mode.value}: {e!r}")
             return
+        finally:
+            with self._busy_lock:
+                self._busy.append((t0, time.monotonic()))
         n = 0
         for ci, results in enumerate(per_channel):
             for res in results:
