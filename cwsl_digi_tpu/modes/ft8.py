@@ -114,21 +114,62 @@ def synthesize(
 # Decoder
 # ---------------------------------------------------------------------------
 
+def ap_hypotheses(my_call: str = "", dx_call: str = "") -> np.ndarray:
+    """A-priori decoding hypotheses (reference AP flags forwarded to jt9,
+    source/DecoderPool.hpp:466-469).
+
+    Rows are 77-element vectors: -1 = bit unknown, 0/1 = bit forced.
+    Hypothesis 0 is always "no AP"; then "CQ ..." and, when configured,
+    "MYCALL ..." / "MYCALL DXCALL ...".
+    """
+    rows = [np.full(77, -1, np.int8)]
+
+    def with_c28a(c28: int, extra=()):
+        h = np.full(77, -1, np.int8)
+        h[0:28] = message77.bits_from_int(c28, 28)
+        h[28] = 0                      # r1a
+        h[74:77] = [0, 0, 1]           # i3 = 1 (standard message)
+        for idx, v in extra:
+            h[idx] = v
+        return h
+
+    rows.append(with_c28a(message77.pack_call28("CQ")))
+    if my_call:
+        try:
+            rows.append(with_c28a(message77.pack_call28(my_call)))
+            if dx_call:
+                h = with_c28a(message77.pack_call28(my_call))
+                h[29:57] = message77.bits_from_int(
+                    message77.pack_call28(dx_call), 28)
+                h[57] = 0
+                rows.append(h)
+        except ValueError:
+            pass
+    return np.stack(rows)
+
+
 class FT8Decoder(GFSKDecoder):
     """Host wrapper: batched windows in, DecodeResult lists out."""
 
     def __init__(self, top_k: int | None = None, bp_iters: int | None = None,
-                 spec: ModeSpec | None = None):
+                 spec: ModeSpec | None = None,
+                 ap: np.ndarray | bool | None = None,
+                 my_call: str = ""):
         s = spec or SPEC
         if top_k or bp_iters:
             s = dataclasses.replace(s, top_k=top_k or s.top_k,
                                     bp_iters=bp_iters or s.bp_iters)
+        if ap is True or (ap is None and my_call):
+            ap = ap_hypotheses(my_call)
+        elif ap is False:
+            ap = None
         super().__init__(
             s,
             get_bp_decoder("ft8", iters=s.bp_iters),
             ft8_crc_matrix(),
             Mode.FT8,
             unpack=lambda bits: message77.unpack77(bits[:77]).text,
+            ap_hypotheses=ap if isinstance(ap, np.ndarray) else None,
         )
 
 

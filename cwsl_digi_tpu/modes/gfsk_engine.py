@@ -118,10 +118,12 @@ def decode_program(
     shapes: tuple,                 # (n_samples,)
     audio: jax.Array,              # [B, N] float32
     crc_mat: jax.Array,            # [n_payload, n_crc] float32
-    bitmaps: jax.Array,            # [bits_per_sym, n_tones] float32
+    bitmaps: jax.Array,           # [bits_per_sym, n_tones] float32
     window: jax.Array,             # [sps] analysis window
     bp: BPDecoder,                 # static (hashable, holds NumPy tables only)
     data_syms: jax.Array,          # [n_data] int32
+    ap_mask: jax.Array | None = None,   # [H, n_code] 1=bit known (AP)
+    ap_vals: jax.Array | None = None,   # [H, n_code] known bit values
 ):
     (n_samples,) = shapes
     b = audio.shape[0]
@@ -186,11 +188,27 @@ def decode_program(
     max1 = jnp.max(jnp.where(bm > 0.5, le_exp, -big), axis=-1)
     llr = (max0 - max1).reshape(b, spec.top_k, spec.n_bits)
 
+    # --- 4b. a-priori hypotheses ------------------------------------------
+    # The reference forwards AP flags to jt9 (source/DecoderPool.hpp:466-469);
+    # natively each hypothesis forces its known bits to saturated LLRs and
+    # the candidate axis widens to K*H (wrong hypotheses die at the CRC).
+    k_eff = spec.top_k
+    if ap_mask is not None:
+        h = ap_mask.shape[0]
+        big_ap = jnp.float32(50.0)
+        llr_h = (llr[:, :, None, :] * (1.0 - ap_mask[None, None])
+                 + big_ap * (1.0 - 2.0 * ap_vals[None, None]) * ap_mask[None, None])
+        llr = llr_h.reshape(b, spec.top_k * h, spec.n_bits)
+        k_eff = spec.top_k * h
+        t0 = jnp.repeat(t0, h, axis=1)
+        f0 = jnp.repeat(f0, h, axis=1)
+        top_val = jnp.repeat(top_val, h, axis=1)
+
     # --- 5. LDPC + CRC ----------------------------------------------------
     n_code = bp.code.n
-    hard, parity_ok = bp.decode(llr.reshape(b * spec.top_k, n_code))
-    hard = hard.reshape(b, spec.top_k, n_code)
-    parity_ok = parity_ok.reshape(b, spec.top_k)
+    hard, parity_ok = bp.decode(llr.reshape(b * k_eff, n_code))
+    hard = hard.reshape(b, k_eff, n_code)
+    parity_ok = parity_ok.reshape(b, k_eff)
     n_payload, n_crc = crc_mat.shape
     payload = hard[:, :, :n_payload].astype(jnp.float32)
     crc_calc = jnp.mod(jnp.einsum("bkp,pc->bkc", payload, crc_mat,
@@ -232,7 +250,8 @@ class GFSKDecoder:
     """
 
     def __init__(self, spec: ModeSpec, bp: BPDecoder, crc_matrix: np.ndarray,
-                 mode, unpack) -> None:
+                 mode, unpack,
+                 ap_hypotheses: np.ndarray | None = None) -> None:
         self.spec = spec
         self.bp = bp
         self.mode = mode
@@ -241,6 +260,18 @@ class GFSKDecoder:
         self._bitmaps = spec.bitmaps()
         self._window = np.hanning(spec.sps).astype(np.float32)
         self._data_syms = np.asarray(spec.data_syms, np.int32)
+        # a-priori hypotheses: [H, n_payload] with -1 = unknown, 0/1 = known
+        self._ap_mask = None
+        self._ap_vals = None
+        if ap_hypotheses is not None and len(ap_hypotheses):
+            hyp = np.asarray(ap_hypotheses)
+            h = hyp.shape[0]
+            mask = np.zeros((h, bp.code.n), np.float32)
+            vals = np.zeros((h, bp.code.n), np.float32)
+            mask[:, : hyp.shape[1]] = (hyp >= 0).astype(np.float32)
+            vals[:, : hyp.shape[1]] = np.maximum(hyp, 0).astype(np.float32)
+            self._ap_mask = mask
+            self._ap_vals = vals
         # sanity: candidate grid must fit in the padded spectrogram
         n_samples = int(round(spec.trperiod * WAVE_SR))
         n_hops = (n_samples - spec.sps) // spec.hop + 1 + 2 * spec.pad_hops
@@ -252,16 +283,35 @@ class GFSKDecoder:
             f"hops ({n_hops}); reduce max_hops/pad_hops"
         )
 
+    # Windows per device call: bounds spectrogram memory (a 15 s FT8 window
+    # at the fine grid costs ~15 MB of device scratch per window, so a
+    # 500-channel batch would not fit HBM in one program).
+    MAX_DEVICE_BATCH = 64
+
     def decode_arrays(self, audio: np.ndarray) -> dict[str, np.ndarray]:
         audio = np.asarray(audio, dtype=np.float32)
         if audio.ndim == 1:
             audio = audio[None, :]
-        out = decode_program(
-            self.spec, (audio.shape[1],), audio,
-            self._crc_mat, self._bitmaps, self._window, self.bp,
-            self._data_syms,
-        )
-        return {k: np.asarray(v) for k, v in out.items()}
+        n = audio.shape[0]
+        if n > self.MAX_DEVICE_BATCH:
+            # pad to a chunk multiple so every call shares one compiled shape
+            pad = (-n) % self.MAX_DEVICE_BATCH
+            if pad:
+                audio = np.concatenate(
+                    [audio, np.zeros((pad, audio.shape[1]), np.float32)])
+        chunks = []
+        for i in range(0, audio.shape[0], self.MAX_DEVICE_BATCH):
+            out = decode_program(
+                self.spec, (audio.shape[1],),
+                audio[i : i + self.MAX_DEVICE_BATCH],
+                self._crc_mat, self._bitmaps, self._window, self.bp,
+                self._data_syms, self._ap_mask, self._ap_vals,
+            )
+            chunks.append({k: np.asarray(v) for k, v in out.items()})
+        if len(chunks) == 1:
+            return {k: v[:n] for k, v in chunks[0].items()}
+        return {k: np.concatenate([c[k] for c in chunks])[:n]
+                for k in chunks[0]}
 
     def decode(self, audio: np.ndarray, depth: int | None = None):
         """Decode with multi-pass signal subtraction.
@@ -288,7 +338,7 @@ class GFSKDecoder:
             out = self.decode_arrays(work)
             new_any = False
             for wi in range(n_windows):
-                for k in range(spec.top_k):
+                for k in range(out["valid"].shape[1]):
                     if not out["valid"][wi, k]:
                         continue
                     payload = np.asarray(out["payload"][wi, k, :n_payload])

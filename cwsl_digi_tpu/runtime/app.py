@@ -86,6 +86,17 @@ class App:
         keep_wav_dir = None
         if cfg.get("wsjtx", "keepwav"):
             keep_wav_dir = cfg.get("wsjtx", "temppath") or "keepwav"
+
+        def decoder_factory(mode):
+            from cwsl_digi_tpu.constants import Mode as _M
+            from cwsl_digi_tpu.modes.base import get_decoder
+
+            # FT8 gets a-priori hypotheses seeded with the operator callsign
+            # (reference AP flags, source/DecoderPool.hpp:466-469)
+            if mode == _M.FT8:
+                return get_decoder(mode, my_call=cfg.get("operator", "callsign"))
+            return get_decoder(mode)
+
         self.pool = DecoderPool(
             num_workers=cfg.num_decode_slots(),
             max_long_workers=max(1, cfg.max_long_slots()),
@@ -93,6 +104,7 @@ class App:
             on_result=self._on_result,
             log=self.printer.debug,
             keep_wav_dir=keep_wav_dir,
+            decoder_factory=decoder_factory,
         )
 
     def _load_ignored(self) -> list[str]:
@@ -149,8 +161,10 @@ class App:
             except Exception as e:
                 self.printer.err(f"cannot open source {spec}: {e}")
                 continue
+            live = spec.startswith(("shm:", "tcp:"))
             rx = Receiver(src, lines, self.pool, utc_anchor=utc_anchor,
-                          log=self.printer.print, line_indices=idxs)
+                          log=self.printer.print, line_indices=idxs,
+                          align_live=live)
             rx.init()
             self.receivers[spec] = rx
             self.printer.info(

@@ -54,12 +54,19 @@ class Receiver:
         log: Callable[[str], None] | None = None,
         decoder_index_base: int = 0,
         line_indices: list[int] | None = None,
+        align_live: bool = False,
     ) -> None:
         self.source = source
         self.lines = list(lines)
         self.pool = pool
         self.log = log or (lambda s: None)
         self.utc_anchor = utc_anchor
+        # live sources: discard IQ until wall clock reaches the anchor so
+        # stream-time window k really starts at utc_anchor + k*T_R (the
+        # reference's cadence threads achieve the same via wall-clock swaps,
+        # source/CWSL_DIGI.cpp:174-451)
+        self.align_live = align_live
+        self._drop_remaining = 0
         self.status = Status.NOT_INITIALIZED
         self._terminate = threading.Event()
         self._thread: threading.Thread | None = None
@@ -114,7 +121,12 @@ class Receiver:
     # -- processing ---------------------------------------------------------
 
     def _run(self) -> None:
-        sub = self.chan._sub
+        import time as _time
+
+        if self.align_live:
+            delay = self.utc_anchor - _time.time()
+            if delay > 0:
+                self._drop_remaining = int(delay * self.source.sample_rate)
         try:
             while not self._terminate.is_set():
                 block = self.source.read_block(timeout=1.0)
@@ -122,6 +134,12 @@ class Receiver:
                     self.status = Status.FINISHED
                     self._flush_partials()
                     return
+                if self._drop_remaining > 0:
+                    n = min(self._drop_remaining, len(block))
+                    self._drop_remaining -= n
+                    block = block[n:]
+                    if len(block) == 0:
+                        continue
                 self.process_iq(block)
         except Exception as e:
             self.log(f"### receiver error: {e!r}")

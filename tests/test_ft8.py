@@ -68,6 +68,25 @@ def test_decode_with_time_offset(decoder):
     assert results[0].dt_s == pytest.approx(0.8, abs=0.05)
 
 
+def test_ap_decoding_extends_floor():
+    """AP hypotheses decode CQ/directed messages below the plain BP floor
+    (reference AP flags, DecoderPool.hpp:466-469)."""
+    apdec = ft8.FT8Decoder(ap=True, my_call="K1ABC")
+    text = "CQ W2AXR FN13"
+    ok = 0
+    for i in range(6):
+        rng = np.random.default_rng(7000 + i)
+        a = add_noise_at_snr(ft8.synthesize(text, 900.0 + 200 * i,
+                                            start_s=0.55), -20.0, 12000, rng)
+        if any(r.message == text for r in apdec.decode(a, depth=1)[0]):
+            ok += 1
+    assert ok >= 5
+    # AP must not hallucinate on noise
+    rng = np.random.default_rng(99)
+    noise = rng.standard_normal(int(ft8.T_R * ft8.WAVE_SR)).astype(np.float32)
+    assert apdec.decode(noise)[0] == []
+
+
 def test_multipass_subtraction_uncovers_buried_signal():
     """Depth>=2 decodes a signal 15 dB under a co-channel strong one
     (reference deep-decode behavior, ftdecoderdepth config.ini:213-215)."""
