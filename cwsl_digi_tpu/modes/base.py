@@ -30,6 +30,7 @@ class DecodeResult:
     score: float = 0.0    # sync/decoder confidence metric
     mode: Mode = Mode.FT8
     payload_bits: np.ndarray | None = None
+    drift_hz: float = 0.0  # linear drift over the burst (WSPR/FST4W)
 
 
 class ModeDecoder(Protocol):

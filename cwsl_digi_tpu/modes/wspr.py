@@ -216,6 +216,16 @@ class WSPRConfig:
     top_k: int = 24
     beam_width: int = 512       # wsprd `cycles` effort analogue
     max_hops: int = 48          # start-time search grid (x 0.17 s)
+    # linear drift hypotheses over the burst, Hz end-to-end (wsprd searches
+    # +-4 Hz; source invocation DecoderPool.hpp:1023-1026)
+    drifts_hz: tuple[float, ...] = (-4.0, -2.0, 0.0, 2.0, 4.0)
+
+
+def _drift_offsets(cfg: WSPRConfig) -> np.ndarray:
+    """[D, NSYM] per-symbol bin offsets for each linear drift hypothesis."""
+    d = np.asarray(cfg.drifts_hz)[:, None]          # Hz end-to-end
+    frac = (np.arange(NSYM)[None, :] / (NSYM - 1)) - 0.5
+    return np.round(d * frac / BIN_HZ).astype(np.int32)
 
 
 def _popcount32(x):
@@ -258,22 +268,39 @@ def _decode_program(cfg: WSPRConfig, shapes, audio, sync, deinter, window):
     )
 
     n_t0 = cfg.max_hops
-    acc = jnp.zeros((b, n_t0, n_f0), jnp.float32)
-    for i in range(NSYM):
-        h0 = 4 * i
-        sl = jax.lax.slice(mmap, (0, h0, 0), (b, h0 + n_t0, n_f0))
-        acc = acc + jnp.where(sync[i] > 0, sl, -sl)
+    sync_np = SYNC  # static sync vector for trace-time branching
+    offs = _drift_offsets(cfg)                   # [D, NSYM] static
+    n_d = offs.shape[0]
+    # headroom so drift-shifted slices stay in range
+    max_off = int(np.abs(offs).max())
+    scores = []
+    for di in range(n_d):
+        acc = jnp.zeros((b, n_t0, n_f0 - 2 * max_off), jnp.float32)
+        for i in range(NSYM):
+            h0 = 4 * i
+            b0 = max_off + int(offs[di, i])
+            sl = jax.lax.slice(mmap, (0, h0, b0),
+                               (b, h0 + n_t0, b0 + n_f0 - 2 * max_off))
+            acc = acc + (sl if sync_np[i] > 0 else -sl)
+        scores.append(acc)
+    score_d = jnp.stack(scores, axis=1)          # [B, D, n_t0, n_f0']
     base = jnp.mean(power, axis=(1, 2), keepdims=True) * NSYM
-    score = acc / (base + 1e-30)
+    score_d = score_d / (base[:, :, :, None] + 1e-30)
 
-    flat = score.reshape(b, -1)
+    n_f0p = n_f0 - 2 * max_off
+    flat = score_d.reshape(b, -1)
     top_val, top_idx = jax.lax.top_k(flat, cfg.top_k)
-    t0 = top_idx // n_f0
-    f0 = top_idx % n_f0
+    d_idx = top_idx // (n_t0 * n_f0p)
+    rem = top_idx % (n_t0 * n_f0p)
+    t0 = rem // n_f0p
+    f0 = rem % n_f0p + max_off                   # back to mmap bin coords
 
-    # per-symbol data LLRs: bit=0 -> tone sync_i, bit=1 -> tone sync_i+2
+    # per-symbol data LLRs: bit=0 -> tone sync_i, bit=1 -> tone sync_i+2;
+    # bins follow the candidate's drift trajectory
+    offs_j = jnp.asarray(offs)                   # [D, NSYM]
+    cand_off = offs_j[d_idx]                     # [B, K, NSYM]
     sym_hops = t0[:, :, None] + 4 * jnp.arange(NSYM, dtype=jnp.int32)[None, None, :]
-    bin0 = f0[:, :, None] + 2 * sync[None, None, :]          # tone sync_i
+    bin0 = f0[:, :, None] + 2 * sync[None, None, :] + cand_off
     bin1 = bin0 + 4                                           # tone sync_i + 2
     bb = jnp.arange(b)[:, None, None]
     e0 = power[bb, sym_hops, bin0]
@@ -299,6 +326,7 @@ def _decode_program(cfg: WSPRConfig, shapes, audio, sync, deinter, window):
         "score": top_val,
         "t0_hop": t0 - PAD_HOPS,
         "f0_bin": f0 + fmin_bin,
+        "drift_idx": d_idx,       # index into cfg.drifts_hz
         "snr": snr,
     }
 
@@ -438,6 +466,7 @@ class WSPRDecoder:
                     score=float(out["score"][wi, k]),
                     mode=Mode.WSPR,
                     payload_bits=bits.copy(),
+                    drift_hz=float(self.cfg.drifts_hz[out["drift_idx"][wi, k]]),
                 )
                 prev = seen.get(call)
                 if prev is None or r.score > prev.score:

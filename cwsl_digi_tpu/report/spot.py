@@ -45,6 +45,7 @@ class Spot:
     report: str = ""        # numeric report if the message carried one
     epoch_time: int = 0
     decoder_index: int = 0
+    drift_hz: float = 0.0   # WSPR/FST4W linear drift estimate
 
     def __post_init__(self) -> None:
         if not self.epoch_time:
@@ -133,6 +134,7 @@ def _spot_from_words(words, text, result, base_freq_hz, decoder_index,
         report=report,
         epoch_time=epoch_time or int(time.time()),
         decoder_index=decoder_index,
+        drift_hz=result.drift_hz,
     )
 
 

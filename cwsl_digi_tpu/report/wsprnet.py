@@ -107,7 +107,8 @@ class WSPRNet:
         n = 0
         for spot, rcall in items:
             fields = build_post_fields(spot, rcall, self.operator_grid,
-                                       spot.base_freq_hz)
+                                       spot.base_freq_hz,
+                                       drift=int(round(spot.drift_hz)))
             ok = False
             for _ in range(RETRIES):
                 if self._post(fields):

@@ -60,6 +60,28 @@ def test_decode_noisy(decoder):
     assert any(r.message == "K1ABC EN34 30" for r in res)
 
 
+def test_drift_search_recovers_drifting_signal(decoder):
+    """A 3 Hz end-to-end drift (4+ bins of smear) decodes via the drift
+    hypothesis grid (wsprd's +-4 Hz search)."""
+    import scipy.signal as _ss
+
+    tones = wspr.encode("K1ABC", "EN34", 30)
+    from cwsl_digi_tpu.modes.gfsk import gfsk_modulate
+
+    sig = gfsk_modulate(tones, 1500.0, wspr.SPS, 12000, wspr.TONE_SPACING)
+    n = len(sig)
+    ph = np.cumsum(2 * np.pi * 3.0 * (np.arange(n) / n - 0.5) / 12000)
+    drifted = np.real(_ss.hilbert(sig) * np.exp(1j * ph))
+    audio = np.zeros(int(wspr.T_R * 12000))
+    s = int(wspr.SIGNAL_START_S * 12000)
+    audio[s : s + n] = drifted
+    rng = np.random.default_rng(9)
+    audio = add_noise_at_snr(audio, -18.0, 12000, rng)
+    res = decoder.decode(audio)[0]
+    assert any(r.message == "K1ABC EN34 30" and abs(r.drift_hz - 3.0) <= 1.0
+               for r in res)
+
+
 def test_noise_rejection(decoder):
     rng = np.random.default_rng(3)
     noise = rng.standard_normal(int(wspr.T_R * 12000)).astype(np.float32)
