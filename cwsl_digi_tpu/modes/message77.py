@@ -43,10 +43,16 @@ _C3 = "0123456789"                              # 10
 _C4 = " ABCDEFGHIJKLMNOPQRSTUVWXYZ"             # 27
 _FREE = " 0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ+-./?"  # 42 chars
 
-# 22-bit hash table for nonstandard calls seen this session (call -> h22 and
-# back).  The reference relies on jt9's equivalent cache; `<...>` displays
-# when the hash is unknown (cf. packed-call handling OutputHandler.cpp:788-799).
-_HASH_TABLE: dict[int, str] = {}
+# Hash tables for calls seen this session (hash value -> call).  The
+# reference relies on jt9's equivalent cache; `<...>` displays when the hash
+# is unknown (cf. packed-call handling OutputHandler.cpp:788-799).  Every
+# call that passes through pack/unpack is registered so later hashed
+# references resolve, mirroring WSJT-X's behavior of hashing all calls heard.
+_HASH_TABLE: dict[int, str] = {}     # 22-bit
+_HASH12_TABLE: dict[int, str] = {}   # 12-bit (type-4 messages)
+
+# base-38 charset for type-4 nonstandard calls (11 chars, 58 bits)
+_C58 = " 0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ/"
 
 
 def bits_from_int(v: int, width: int) -> list[int]:
@@ -60,14 +66,33 @@ def int_from_bits(bits) -> int:
     return v
 
 
-def hash22(call: str) -> int:
-    """22-bit rolling hash for nonstandard calls (session-local table)."""
+def _hash_raw(call: str) -> int:
     h = 5381
     for ch in call:
         h = (h * 33 + ord(ch)) & 0xFFFFFFFF
-    h22 = (h * 2654435761 >> 10) & (MAX22 - 1)
+    return (h * 2654435761) & 0xFFFFFFFF
+
+
+def hash22(call: str) -> int:
+    """22-bit hash (session-local table)."""
+    h22 = (_hash_raw(call) >> 10) & (MAX22 - 1)
     _HASH_TABLE[h22] = call
     return h22
+
+
+def hash12(call: str) -> int:
+    """12-bit hash for type-4 message 'other call' references."""
+    h12 = (_hash_raw(call) >> 20) & 0xFFF
+    _HASH12_TABLE[h12] = call
+    return h12
+
+
+def register_call(call: str) -> None:
+    """Record a heard call in every hash table."""
+    c = call.strip().strip("<>").upper()
+    if len(c) >= 3:
+        hash22(c)
+        hash12(c)
 
 
 def _is_standard_call(call: str) -> bool:
@@ -220,6 +245,17 @@ class Message:
     is_free_text: bool = False
 
 
+def _is_nonstandard_call(w: str) -> bool:
+    c = w.strip("<>")
+    return (
+        3 <= len(c) <= 11
+        and not _is_standard_call(c)
+        and all(ch in _C58 for ch in c)
+        and any(ch.isdigit() for ch in c)
+        and any(ch.isalpha() for ch in c)
+    )
+
+
 def pack77(text: str) -> np.ndarray:
     """Message text -> 77-bit payload (uint8 array)."""
     words = text.strip().upper().split()
@@ -228,7 +264,96 @@ def pack77(text: str) -> np.ndarray:
         return _pack_standard(words)
     except ValueError:
         pass
+    # type-4: one nonstandard call (compound/prefixed), other call hashed
+    try:
+        return _pack_nonstandard(words)
+    except ValueError:
+        pass
     return _pack_free_text(text.strip().upper())
+
+
+_R2 = {"": 0, "RRR": 1, "RR73": 2, "73": 3}
+_R2_INV = {v: k for k, v in _R2.items()}
+
+
+def _pack_nonstandard(words: list[str]) -> np.ndarray:
+    """Type 4: h12 | c58 | flip | r2 | cq | i3=4."""
+    if not words:
+        raise ValueError("empty")
+    cq = 0
+    flip = 0
+    other = ""
+    r2 = 0
+    if words[0] == "CQ" and len(words) == 2 and _is_nonstandard_call(words[1]):
+        cq = 1
+        nonstd = words[1]
+    elif len(words) in (2, 3):
+        tail = words[2] if len(words) == 3 else ""
+        if tail not in _R2:
+            raise ValueError("type-4 carries only RRR/RR73/73 suffixes")
+        r2 = _R2[tail]
+        if _is_nonstandard_call(words[0]):
+            nonstd, other, flip = words[0], words[1], 1
+        elif _is_nonstandard_call(words[1]):
+            nonstd, other, flip = words[1], words[0], 0
+        else:
+            raise ValueError("no nonstandard call")
+        other = other.strip("<>")
+        register_call(other)
+    else:
+        raise ValueError("not a type-4 message")
+    nonstd = nonstd.strip("<>")
+    register_call(nonstd)
+    h12 = hash12(other) if other else 0
+    v = 0
+    for ch in nonstd.rjust(11):
+        v = v * 38 + _C58.index(ch)
+    bits = (
+        bits_from_int(h12, 12) + bits_from_int(v, 58)
+        + [flip] + bits_from_int(r2, 2) + [cq] + bits_from_int(4, 3)
+    )
+    return np.array(bits, dtype=np.uint8)
+
+
+def _unpack_nonstandard(bits: np.ndarray) -> Message:
+    h12 = int_from_bits(bits[0:12])
+    v = int_from_bits(bits[12:70])
+    flip = int(bits[70])
+    r2 = int_from_bits(bits[71:73])
+    cq = int(bits[73])
+    chars = []
+    for _ in range(11):
+        chars.append(_C58[v % 38])
+        v //= 38
+    nonstd = "".join(reversed(chars)).strip()
+    register_call(nonstd)
+    if cq:
+        text = f"CQ {nonstd}"
+        return Message(text=text, call1="CQ", call2=nonstd, i3=4, is_cq=True)
+    other = _HASH12_TABLE.get(h12)
+    other_disp = f"<{other}>" if other else "<...>"
+    suffix = _R2_INV[r2]
+    if flip:
+        wordsout = [nonstd, other_disp]
+        call1, call2 = nonstd, other or ""
+    else:
+        wordsout = [other_disp, nonstd]
+        call1, call2 = other or "", nonstd
+    if suffix:
+        wordsout.append(suffix)
+    return Message(text=" ".join(wordsout), call1=wordsout[0],
+                   call2=wordsout[1].strip("<>"), i3=4)
+
+
+def _pack_call28_strict(call: str) -> int:
+    """pack_call28, but a *bare* nonstandard call raises so pack77 prefers
+    the type-4 encoding (which carries the call verbatim); explicit
+    ``<CALL>`` still packs as a 22-bit hash."""
+    c = call.strip().upper()
+    if not (c.startswith("<") or c in ("DE", "QRZ", "CQ")
+            or c.startswith("CQ ") or _is_standard_call(c)):
+        raise ValueError(f"nonstandard call {call!r} needs type 4")
+    return pack_call28(c)
 
 
 def _pack_standard(words: list[str]) -> np.ndarray:
@@ -247,13 +372,13 @@ def _pack_standard(words: list[str]) -> np.ndarray:
             rest = words[1:]
         if not rest:
             raise ValueError("CQ without call")
-        c2 = pack_call28(rest[0])
+        c2 = _pack_call28_strict(rest[0])
         r2 = 0
         g15, rr = pack_grid15(" ".join(rest[1:])) if len(rest) > 1 else (MAXGRID4, 0)
         return _assemble77(c1, 0, c2, r2, rr, g15, i3=1)
     if len(words) >= 2:
-        c1 = pack_call28(words[0])
-        c2 = pack_call28(words[1])
+        c1 = _pack_call28_strict(words[0])
+        c2 = _pack_call28_strict(words[1])
         tail = " ".join(words[2:])
         g15, rr = pack_grid15(tail) if tail else (MAXGRID4, 0)
         return _assemble77(c1, 0, c2, 0, rr, g15, i3=1)
@@ -289,6 +414,10 @@ def unpack77(bits: np.ndarray) -> Message:
         g15 = int_from_bits(bits[59:74])
         w1 = unpack_call28(c28a)
         w2 = unpack_call28(c28b)
+        # record heard calls so later hashed references resolve
+        for w in (w1, w2):
+            if _is_standard_call(w):
+                register_call(w)
         w3 = unpack_grid15(g15, rr)
         text = " ".join(w for w in (w1, w2, w3) if w)
         msg = Message(text=text, call1=w1, call2=w2, i3=i3)
@@ -298,6 +427,8 @@ def unpack77(bits: np.ndarray) -> Message:
         elif g15 >= MAXGRID4 + 4:
             msg.report = w3
         return msg
+    if i3 == 4:
+        return _unpack_nonstandard(bits)
     if i3 == 0:
         v = int_from_bits(bits[0:71])
         chars = []

@@ -92,6 +92,23 @@ def test_message77_free_text():
     assert msg.text == "TNX BOB 73 GL"
 
 
+def test_message77_type4_nonstandard():
+    # CQ with a compound call carries the full call (type 4)
+    bits = message77.pack77("CQ PJ4/K1ABC")
+    m = message77.unpack77(bits)
+    assert m.i3 == 4 and m.text == "CQ PJ4/K1ABC" and m.is_cq
+    # exchange with a nonstandard call: other call is hashed but resolves
+    # because it was registered at pack time
+    bits = message77.pack77("PJ4/K1ABC W9XYZ 73")
+    m = message77.unpack77(bits)
+    assert m.i3 == 4
+    assert m.text == "PJ4/K1ABC <W9XYZ> 73"
+    bits = message77.pack77("K1ABC VE3/W9XYZ RR73")
+    m = message77.unpack77(bits)
+    assert m.text == "<K1ABC> VE3/W9XYZ RR73"
+    assert m.call2 == "VE3/W9XYZ"
+
+
 def test_message77_call_packing():
     for call in ["W2AXR", "K1ABC", "VE3XYZ", "2E0ABC", "W1AW"]:
         c = message77.pack_call28(call)
