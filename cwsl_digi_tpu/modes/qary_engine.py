@@ -129,14 +129,25 @@ ERASURE_SCHEDULE = (0, 8, 16, 24, 32, 40)
 
 
 class QaryDecoder:
-    """Host wrapper: device symbol demod + host RS errors-and-erasures."""
+    """Host wrapper: device symbol demod + host RS errors-and-erasures.
 
-    def __init__(self, spec: QarySpec, rs, mode, unpack, min_score: float = 1.5):
+    Decoding tiers per candidate:
+    1. deterministic progressive-erasure schedule (cheap);
+    2. stochastic Chase: random erasure patterns biased toward
+       low-confidence symbols (the native substitute for the soft
+       Koetter-Vardy/FT decoding inside jt9) — applied to the best
+       ``chase_top`` sync candidates only.
+    """
+
+    def __init__(self, spec: QarySpec, rs, mode, unpack, min_score: float = 1.5,
+                 chase_trials: int = 64, chase_top: int = 4):
         self.spec = spec
         self.rs = rs
         self.mode = mode
         self.unpack = unpack          # (info_symbols) -> text or None
         self.min_score = min_score
+        self.chase_trials = chase_trials
+        self.chase_top = chase_top
         self._window = np.hanning(spec.sps).astype(np.float32)
         self._data_syms = np.asarray(spec.data_syms, np.int32)
         self._sync_syms = np.asarray(spec.sync_syms, np.int32)
@@ -175,6 +186,8 @@ class QaryDecoder:
                     info = self.rs.decode(syms.copy(), erasures=erasures)
                     if info is not None:
                         break
+                if info is None and k < self.chase_top:
+                    info = self._chase(syms, margin, seed=wi * 1000 + k)
                 if info is None:
                     continue
                 # validate: re-encode, require strong agreement with the
@@ -204,3 +217,30 @@ class QaryDecoder:
                     seen[key] = r
             results.append(sorted(seen.values(), key=lambda r: -r.score))
         return results
+
+    def _chase(self, syms: np.ndarray, margin: np.ndarray,
+               seed: int) -> np.ndarray | None:
+        """Stochastic erasure trials biased toward low-confidence symbols."""
+        rng = np.random.default_rng(seed)
+        n = len(syms)
+        # erasure probability decreasing with confidence rank
+        rank = np.empty(n, np.int64)
+        rank[np.argsort(margin)] = np.arange(n)
+        p = 0.9 - 0.8 * rank / (n - 1)
+        f_target = min(self.rs.n_parity - 11, n - 1)
+        best = None
+        for _ in range(self.chase_trials):
+            mask = rng.random(n) < p
+            idx = np.nonzero(mask)[0]
+            if len(idx) > f_target:
+                # keep the lowest-confidence erasures
+                idx = idx[np.argsort(margin[idx])[:f_target]]
+            info = self.rs.decode(syms.copy(), erasures=list(map(int, idx)))
+            if info is not None:
+                cw = self.rs.encode(info)
+                agree = float(np.mean(cw == syms))
+                if best is None or agree > best[1]:
+                    best = (info, agree)
+                if agree > 0.7:
+                    break
+        return best[0] if best else None

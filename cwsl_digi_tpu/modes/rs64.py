@@ -113,10 +113,17 @@ class RS63:
     # -- decoding -----------------------------------------------------------
 
     def syndromes(self, word: np.ndarray) -> list[int]:
-        exp, _ = _tables()
-        # word[0] is the highest-order coefficient (info first)
-        return [_poly_eval(list(map(int, word)), int(exp[i]))
-                for i in range(1, self.n_parity + 1)]
+        """S_i = c(alpha^i), i=1..n_parity — vectorized via log/exp tables."""
+        exp, log = _tables()
+        word = np.asarray(word, np.int64)
+        nz = word != 0
+        if not nz.any():
+            return [0] * self.n_parity
+        logs = log[word[nz]]                       # [m]
+        degs = (N - 1) - np.nonzero(nz)[0]         # x-power of each coeff
+        i = np.arange(1, self.n_parity + 1)[:, None]
+        terms = exp[(logs[None, :] + i * degs[None, :]) % N]
+        return list(np.bitwise_xor.reduce(terms, axis=1))
 
     def decode(self, word: np.ndarray,
                erasures: list[int] | None = None) -> np.ndarray | None:
@@ -141,15 +148,15 @@ class RS63:
         lam = self._berlekamp_massey(xi_synd, len(erasures))
         # full locator = lam * gamma
         locator = self._poly_mul_low(lam, gamma)
-        # Chien search
-        err_pos = []
-        for pos in range(N):
-            xinv = gpow(2, (-(N - 1 - pos)) % N)
-            val = 0
-            for j, c in enumerate(locator):
-                val ^= gmul(c, gpow(xinv, j))
-            if val == 0:
-                err_pos.append(pos)
+        # Chien search (vectorized): evaluate locator at alpha^{-(N-1-pos)}
+        exp, log = _tables()
+        loc = np.asarray(locator, np.int64)
+        nzj = np.nonzero(loc)[0]
+        xinv_pows = (-(N - 1 - np.arange(N))) % N          # [N]
+        terms = exp[(log[loc[nzj]][None, :]
+                     + xinv_pows[:, None] * nzj[None, :]) % N]
+        vals = np.bitwise_xor.reduce(terms, axis=1)
+        err_pos = list(np.nonzero(vals == 0)[0])
         deg = max((i for i, c in enumerate(locator) if c), default=0)
         if len(err_pos) != deg:
             return None

@@ -48,8 +48,9 @@ def test_jt65_decode_clean_and_noisy():
     audio = jt65.synthesize(text, f0_hz=1270.5)
     res = dec.decode(audio)[0]
     assert res and res[0].message == text
+    # stochastic Chase extends the floor well past the hard-decision limit
     rng = np.random.default_rng(1)
-    noisy = add_noise_at_snr(jt65.synthesize(text, 900.0), -18.0, 12000, rng)
+    noisy = add_noise_at_snr(jt65.synthesize(text, 900.0), -21.0, 12000, rng)
     res = dec.decode(noisy)[0]
     assert any(r.message == text for r in res)
 
