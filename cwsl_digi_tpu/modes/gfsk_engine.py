@@ -337,31 +337,30 @@ class GFSKDecoder:
         for _pass in range(max(1, depth)):
             out = self.decode_arrays(work)
             new_any = False
-            for wi in range(n_windows):
-                for k in range(out["valid"].shape[1]):
-                    if not out["valid"][wi, k]:
-                        continue
-                    payload = np.asarray(out["payload"][wi, k, :n_payload])
-                    key = np.packbits(payload).tobytes()
-                    dt = out["t0_hop"][wi, k] * spec.hop / WAVE_SR \
-                        - spec.signal_start_s
-                    freq = out["f0_bin"][wi, k] * spec.bin_hz
-                    r = DecodeResult(
-                        message=self.unpack(payload),
-                        snr_db=round(float(out["snr"][wi, k]), 1),
-                        dt_s=round(float(dt), 2),
-                        freq_hz=round(float(freq), 1),
-                        score=float(out["score"][wi, k]),
-                        mode=self.mode,
-                        payload_bits=payload.copy(),
-                    )
-                    prev = seen[wi].get(key)
-                    if prev is None:
-                        new_any = True
-                        if _pass + 1 < depth:
-                            self._subtract(work[wi], out, wi, k)
-                    if prev is None or r.score > prev.score:
-                        seen[wi][key] = r
+            # sparse iteration: decodes only (the K axis can be 256+ per
+            # window, with a handful of valid entries)
+            for wi, k in np.argwhere(out["valid"]):
+                payload = np.asarray(out["payload"][wi, k, :n_payload])
+                key = np.packbits(payload).tobytes()
+                dt = out["t0_hop"][wi, k] * spec.hop / WAVE_SR \
+                    - spec.signal_start_s
+                freq = out["f0_bin"][wi, k] * spec.bin_hz
+                r = DecodeResult(
+                    message=self.unpack(payload),
+                    snr_db=round(float(out["snr"][wi, k]), 1),
+                    dt_s=round(float(dt), 2),
+                    freq_hz=round(float(freq), 1),
+                    score=float(out["score"][wi, k]),
+                    mode=self.mode,
+                    payload_bits=payload.copy(),
+                )
+                prev = seen[wi].get(key)
+                if prev is None:
+                    new_any = True
+                    if _pass + 1 < depth:
+                        self._subtract(work[wi], out, wi, k)
+                if prev is None or r.score > prev.score:
+                    seen[wi][key] = r
             if not new_any or _pass + 1 >= depth:
                 break
         return [sorted(s.values(), key=lambda r: -r.score) for s in seen]

