@@ -68,6 +68,9 @@ def _bench_decode(batch: int = 32, top_k: int | None = None,
 
 
 def main() -> None:
+    from cwsl_digi_tpu import jaxcache
+
+    jaxcache.enable()
     from cwsl_digi_tpu.modes import ft8
 
     t_chan = _bench_channelizer()          # s per channel-second

@@ -58,10 +58,12 @@ SPEC = ModeSpec(
     gray_map=tuple(GRAY.tolist()),
     trperiod=T_R,
     signal_start_s=0.5,
-    top_k=128,
+    top_k=192,
     bp_iters=30,
-    max_hops=160,     # dt search -0.77..+1.15 s (FT4 hops are 12 ms)
-    pad_hops=64,
+    max_hops=320,     # dt search -0.77..+1.15 s (6 ms hops at os_t=8)
+    pad_hops=128,
+    os_t=8,
+    os_f=4,
     bt=1.0,
 )
 

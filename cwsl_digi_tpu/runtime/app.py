@@ -41,6 +41,9 @@ from cwsl_digi_tpu.version import PROGRAM_NAME, __version__
 
 class App:
     def __init__(self, cfg: Config, max_runtime_s: float | None = None) -> None:
+        from cwsl_digi_tpu import jaxcache
+
+        jaxcache.enable()
         self.cfg = cfg
         self.max_runtime_s = max_runtime_s
         self.printer = ScreenPrinter(
@@ -174,8 +177,35 @@ class App:
 
     # -- run ----------------------------------------------------------------
 
+    def warmup(self) -> None:
+        """Pre-compile every configured mode's decode program.
+
+        First compiles can take minutes (especially via remote-compile
+        tunnels); doing them before receivers start means no capture window
+        ever waits behind a compile and gets shed as stale.
+        """
+        import numpy as np
+
+        from cwsl_digi_tpu.constants import WAVE_SR
+
+        counts: dict = {}
+        for line in self.cfg.decoders:
+            counts[line.mode] = counts.get(line.mode, 0) + 1
+        for mode, n_ch in sorted(counts.items(), key=lambda kv: kv[0].value):
+            t0 = time.monotonic()
+            dec = self.pool._decoder_factory(mode)
+            n = int(get_rx_period(mode) * WAVE_SR)
+            # compile the shape the receivers will actually submit:
+            # one batched window across this mode's channels
+            dec.decode(np.zeros((n_ch, n), np.float32))
+            self.printer.info(
+                f"warmup: {mode.value} x{n_ch} decode program compiled in "
+                f"{time.monotonic() - t0:.0f} s"
+            )
+
     def run(self) -> None:
         self.printer.info(f"{PROGRAM_NAME} {__version__} starting")
+        self.warmup()
         self.pool.init()
         # anchor stream time at the next UTC boundary of the fastest period
         anchor = next_period_boundary(15.0)

@@ -196,6 +196,7 @@ def open_source(spec: str, sample_rate: int = 0, lo_freq: int = 0,
     override the keyword arguments; shm carries its own metadata.
     """
     spec, _, query = spec.partition("?")
+    loop = realtime = False
     if query:
         for kv in query.split("&"):
             k, _, v = kv.partition("=")
@@ -205,9 +206,14 @@ def open_source(spec: str, sample_rate: int = 0, lo_freq: int = 0,
                 lo_freq = int(v)
             elif k == "block":
                 block_size = int(v)
+            elif k == "loop":
+                loop = v not in ("0", "false", "")
+            elif k == "rt":
+                realtime = v not in ("0", "false", "")
     kind, _, rest = spec.partition(":")
     if kind == "file":
-        return ReplaySource(rest, sample_rate, lo_freq, block_size)
+        return ReplaySource(rest, sample_rate, lo_freq, block_size,
+                            realtime=realtime, loop=loop)
     if kind == "shm":
         # prefer the native C++ reader (reference's ingest is native too);
         # fall back to the pure-Python reader — identical wire layout
