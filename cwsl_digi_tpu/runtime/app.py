@@ -120,6 +120,19 @@ class App:
             return []
 
     def _on_result(self, job, ci, res):
+        # `printjt9output` analogue: echo decodes in jt9/wsprd text format
+        # (reference: CWSL_DIGI.cpp:570)
+        if self.cfg.get("logging", "printjt9output"):
+            from cwsl_digi_tpu.constants import Mode
+            from cwsl_digi_tpu.report import jt9format
+
+            if res.mode == Mode.WSPR:
+                line = jt9format.format_wsprd(res, job.epoch_time,
+                                              job.base_freqs[ci],
+                                              drift=int(round(res.drift_hz)))
+            else:
+                line = jt9format.format_jt9(res, job.epoch_time)
+            self.printer.info(line)
         self.spots.handle(
             res,
             base_freq_hz=job.base_freqs[ci],
@@ -245,8 +258,14 @@ class App:
             if stats_interval and now - last_stats >= stats_interval:
                 last_stats = now
                 labels = [f"{l.freq} {l.mode.value}" for l in self.cfg.decoders]
+                # per-decoder status from the owning receiver (reference
+                # status column, CWSL_DIGI.cpp:470-519)
+                statuses = ["Unattached"] * len(self.cfg.decoders)
+                for rx in self.receivers.values():
+                    for idx in rx.line_indices:
+                        statuses[idx] = rx.get_status().value
                 self.printer.info(
-                    "\n" + self.stats.table(labels)
+                    "\n" + self.stats.table(labels, statuses)
                     + f"\nDecode workers busy: {self.pool.busy_fraction():.0%}"
                     f"  windows decoded: {self.pool.count_decoded_windows}"
                     f"  stale dropped: {self.pool.count_dropped_stale}"
