@@ -123,7 +123,6 @@ class App:
         # `printjt9output` analogue: echo decodes in jt9/wsprd text format
         # (reference: CWSL_DIGI.cpp:570)
         if self.cfg.get("logging", "printjt9output"):
-            from cwsl_digi_tpu.constants import Mode
             from cwsl_digi_tpu.report import jt9format
 
             if res.mode == Mode.WSPR:
@@ -178,9 +177,17 @@ class App:
                 self.printer.err(f"cannot open source {spec}: {e}")
                 continue
             live = spec.startswith(("shm:", "tcp:"))
-            rx = Receiver(src, lines, self.pool, utc_anchor=utc_anchor,
-                          log=self.printer.print, line_indices=idxs,
-                          align_live=live)
+            try:
+                rx = Receiver(src, lines, self.pool, utc_anchor=utc_anchor,
+                              log=self.printer.print, line_indices=idxs,
+                              align_live=live)
+            except ValueError as e:
+                # e.g. decoder tuned outside the source's band — log and
+                # retry on the re-attach cadence (reference behavior for
+                # findBand failure, CWSL_DIGI.cpp:109-113)
+                self.printer.err(f"cannot attach decoders to {spec}: {e}")
+                src.close()
+                continue
             rx.init()
             self.receivers[spec] = rx
             self.printer.info(
@@ -259,11 +266,14 @@ class App:
                 last_stats = now
                 labels = [f"{l.freq} {l.mode.value}" for l in self.cfg.decoders]
                 # per-decoder status from the owning receiver (reference
-                # status column, CWSL_DIGI.cpp:470-519)
+                # status column incl. FINISHED->'Inactive',
+                # CWSL_DIGI.cpp:486-510)
                 statuses = ["Unattached"] * len(self.cfg.decoders)
                 for rx in self.receivers.values():
+                    s = rx.get_status()
+                    label = "Inactive" if s == Status.FINISHED else s.value
                     for idx in rx.line_indices:
-                        statuses[idx] = rx.get_status().value
+                        statuses[idx] = label
                 self.printer.info(
                     "\n" + self.stats.table(labels, statuses)
                     + f"\nDecode workers busy: {self.pool.busy_fraction():.0%}"

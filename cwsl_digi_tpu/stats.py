@@ -53,11 +53,13 @@ class Stats:
               now: int | None = None) -> str:
         """The periodic status table (reference: CWSL_DIGI.cpp:470-519)."""
         self.prune(now)
-        lines = [f"{'Decoder':<24}{'Status':<10}"
+        # status column width matches the reference's setw(16)
+        # (CWSL_DIGI.cpp:486-510) so 'Uninitialized' fits
+        lines = [f"{'Decoder':<24}{'Status':<16}"
                  + "".join(f"{s:>8}" for s in ("1m", "5m", "1h", "24h"))]
         for i, label in enumerate(labels):
             status = statuses[i] if statuses else "Running"
             counts = [self.get_counts(i, iv, now) for iv in DEFAULT_INTERVALS]
-            lines.append(f"{label:<24}{status:<10}"
+            lines.append(f"{label:<24}{status:<16}"
                          + "".join(f"{c:>8}" for c in counts))
         return "\n".join(lines)
