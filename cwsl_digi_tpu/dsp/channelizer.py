@@ -115,7 +115,6 @@ def _channelize_block(
     n_out = t_in // bs
     c = tone_re.shape[0]
     sub = tone_re.shape[1]
-    n_sub = t_in // sub
 
     # --- NCO tone: phasor * rot_powers[b] * tone_base[u_local] -----------
     ph_re = state["phasor_re"][:, None]

@@ -240,6 +240,12 @@ class PallasChannelizer:
         self.reset()
         iq = np.asarray(iq)
         t = iq.shape[0]
+        if t % self.spec.block_size != 0:
+            # match BatchChannelizer.process_window's contract exactly so the
+            # backends stay drop-in interchangeable
+            raise ValueError(
+                f"window length must be a multiple of {self.spec.block_size}"
+            )
         n_out = t // self.spec.block_size
         pad = (-t) % self.tile_t
         if pad:

@@ -41,19 +41,25 @@ class ModeDecoder(Protocol):
         ...
 
 
-_REGISTRY: dict[Mode, "ModeDecoder"] = {}
+_REGISTRY: dict[tuple, "ModeDecoder"] = {}
 
 
 def register_decoder(mode: Mode, decoder: "ModeDecoder") -> None:
-    _REGISTRY[mode] = decoder
+    _REGISTRY[(Mode(mode),)] = decoder
 
 
 def get_decoder(mode: Mode | str, **kwargs) -> "ModeDecoder":
-    """Get (lazily constructing) the decoder for a mode."""
+    """Get (lazily constructing) the decoder for a mode.
+
+    The cache key includes the construction kwargs, so differently
+    configured decoders (e.g. with/without AP hypotheses) coexist instead
+    of the first construction silently winning.
+    """
     mode = Mode(mode)
-    if mode not in _REGISTRY:
-        _REGISTRY[mode] = _construct(mode, **kwargs)
-    return _REGISTRY[mode]
+    key = (mode,) + tuple(sorted(kwargs.items()))
+    if key not in _REGISTRY:
+        _REGISTRY[key] = _construct(mode, **kwargs)
+    return _REGISTRY[key]
 
 
 def _construct(mode: Mode, **kwargs):

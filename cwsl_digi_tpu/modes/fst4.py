@@ -156,17 +156,14 @@ def encode_message(text: str, mode: Mode) -> np.ndarray:
 def synthesize(text: str, mode: Mode, f0_hz: float = 1000.0,
                amplitude: float = 1.0, start_s: float = 1.0,
                window_len: int | None = None) -> np.ndarray:
+    from cwsl_digi_tpu.modes.gfsk import place_burst
+
     spec = make_spec(mode)
-    tones = encode_message(text, mode)
-    burst = gfsk_modulate(tones, f0_hz, spec.sps, WAVE_SR, spec.tone_spacing,
-                          bt=1.0)
+    burst = gfsk_modulate(encode_message(text, mode), f0_hz, spec.sps,
+                          WAVE_SR, spec.tone_spacing, bt=1.0)
     if window_len is None:
         window_len = int(spec.trperiod * WAVE_SR)
-    out = np.zeros(window_len)
-    start = int(round(start_s * WAVE_SR))
-    n = min(len(burst), window_len - start)
-    out[start : start + n] = amplitude * burst[:n]
-    return out
+    return place_burst(burst, window_len, start_s, amplitude)
 
 
 class FST4Decoder(GFSKDecoder):

@@ -101,13 +101,11 @@ def synthesize(
     start_s: float = SIGNAL_START_S,
 ) -> np.ndarray:
     """Full 15 s window containing one FT8 burst (no noise)."""
-    tones = encode_message(text)
-    burst = gfsk_modulate(tones, f0_hz, SPS, WAVE_SR, TONE_SPACING, bt=2.0)
-    out = np.zeros(window_len)
-    start = int(round(start_s * WAVE_SR))
-    n = min(len(burst), window_len - start)
-    out[start : start + n] = amplitude * burst[:n]
-    return out
+    from cwsl_digi_tpu.modes.gfsk import place_burst
+
+    burst = gfsk_modulate(encode_message(text), f0_hz, SPS, WAVE_SR,
+                          TONE_SPACING, bt=2.0)
+    return place_burst(burst, window_len, start_s, amplitude)
 
 
 # ---------------------------------------------------------------------------

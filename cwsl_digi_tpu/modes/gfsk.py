@@ -95,6 +95,25 @@ def gfsk_modulate_iq(
     return np.exp(1j * phase)
 
 
+def place_burst(
+    burst: np.ndarray,
+    window_len: int,
+    start_s: float,
+    amplitude: float = 1.0,
+    sample_rate: int = 12_000,
+) -> np.ndarray:
+    """Place a modulated burst into a zeroed capture window (shared by every
+    mode's ``synthesize``)."""
+    out = np.zeros(window_len)
+    start = int(round(start_s * sample_rate))
+    if start >= window_len or start + len(burst) <= 0:
+        return out
+    s0 = max(0, start)
+    n = min(len(burst) - (s0 - start), window_len - s0)
+    out[s0 : s0 + n] = amplitude * burst[s0 - start : s0 - start + n]
+    return out
+
+
 def fsk_modulate(
     tones: np.ndarray,
     f0_hz: float,

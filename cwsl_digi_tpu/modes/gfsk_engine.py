@@ -30,6 +30,17 @@ from cwsl_digi_tpu.constants import WAVE_SR
 from cwsl_digi_tpu.modes.ldpc import BPDecoder, Code
 
 
+# device-memory budget per decode program call (two spectrograms + the
+# complex rfft intermediate); sized for ~16 GB HBM with headroom
+DEVICE_BYTES_BUDGET = 4_000_000_000
+
+
+def device_batch_for(n_hops: int, nfft: int, cap: int) -> int:
+    """Windows per device call so the spectrogram working set fits HBM."""
+    per_window = n_hops * (nfft // 2 + 1) * 4 * 4  # 2x power f32 + rfft c64
+    return max(1, min(cap, DEVICE_BYTES_BUDGET // max(per_window, 1)))
+
+
 @dataclasses.dataclass(frozen=True)
 class ModeSpec:
     """Static physical-layer description of one GFSK mode."""
@@ -158,7 +169,13 @@ def decode_program(
         h0, b0 = spec.os_t * sym, spec.os_f * tone
         acc = acc + jax.lax.slice(power_sync, (0, h0, b0),
                                   (b, h0 + n_t0, b0 + n_f0))
-    base = jnp.mean(power_sync, axis=(1, 2), keepdims=True) * len(spec.sync_cells)
+    # normalization statistics over the REAL (unpadded) spectrogram rows,
+    # so the pad fraction (which varies per mode) cannot bias the score or
+    # the SNR estimate
+    real_rows = jax.lax.slice(
+        power_sync, (0, spec.pad_hops, 0),
+        (b, spec.pad_hops + n_hops, power_sync.shape[2]))
+    base = jnp.mean(real_rows, axis=(1, 2), keepdims=True) * len(spec.sync_cells)
     score = acc / (base + 1e-30)
 
     # --- 3. top-K candidates ----------------------------------------------
@@ -217,20 +234,25 @@ def decode_program(
         jnp.abs(crc_calc - hard[:, :, n_payload : n_payload + n_crc]) < 0.5,
         axis=-1,
     )
-    valid = parity_ok & crc_ok
+    # guard against the trivial all-zero codeword: a silent window yields
+    # zero LLRs, and all-zeros passes both parity and CRC — require real
+    # demodulated evidence and a nonzero payload
+    has_signal = jnp.sum(jnp.abs(llr), axis=-1) > 1e-3
+    nonzero_payload = jnp.any(payload > 0.5, axis=-1)
+    valid = parity_ok & crc_ok & has_signal & nonzero_payload
 
     # --- SNR estimate ------------------------------------------------------
     # mean sync-cell power = signal + average cell noise; subtract the noise
     # term (score units: top_val ~= (S+N)/N_mean, so S/N_mean = top_val - 1)
     # and reference to 2.5 kHz like every reference-reported SNR.
-    noise = jnp.median(power_sync, axis=(1, 2))
+    noise = jnp.median(real_rows, axis=(1, 2))
     mean_cell = base[:, :, 0] / len(spec.sync_cells)
     sig = jnp.maximum(top_val - 1.0, 0.01) * mean_cell
-    # -3.1 dB: empirical calibration against injected signals of known SNR
+    # -0.6 dB: empirical calibration against injected signals of known SNR
     # (median-vs-mean noise statistic + window scalloping), validated at
     # +5..-18 dB to within ~0.5 dB
     snr = 10.0 * jnp.log10((sig + 1e-30) / (noise[:, None] + 1e-30)) \
-        - 10.0 * np.float32(np.log10(2500.0 / spec.tone_spacing)) - 3.1
+        - 10.0 * np.float32(np.log10(2500.0 / spec.tone_spacing)) - 0.6
 
     return {
         "valid": valid,
@@ -282,6 +304,8 @@ class GFSKDecoder:
             f"{spec.name}: sync search grid ({max_h}) exceeds spectrogram "
             f"hops ({n_hops}); reduce max_hops/pad_hops"
         )
+        self.max_device_batch = device_batch_for(
+            n_hops, spec.nfft, self.MAX_DEVICE_BATCH)
 
     # Windows per device call: bounds spectrogram memory (a 15 s FT8 window
     # at the fine grid costs ~15 MB of device scratch per window, so a
@@ -293,17 +317,18 @@ class GFSKDecoder:
         if audio.ndim == 1:
             audio = audio[None, :]
         n = audio.shape[0]
-        if n > self.MAX_DEVICE_BATCH:
+        batch = self.max_device_batch
+        if n > batch:
             # pad to a chunk multiple so every call shares one compiled shape
-            pad = (-n) % self.MAX_DEVICE_BATCH
+            pad = (-n) % batch
             if pad:
                 audio = np.concatenate(
                     [audio, np.zeros((pad, audio.shape[1]), np.float32)])
         chunks = []
-        for i in range(0, audio.shape[0], self.MAX_DEVICE_BATCH):
+        for i in range(0, audio.shape[0], batch):
             out = decode_program(
                 self.spec, (audio.shape[1],),
-                audio[i : i + self.MAX_DEVICE_BATCH],
+                audio[i : i + batch],
                 self._crc_mat, self._bitmaps, self._window, self.bp,
                 self._data_syms, self._ap_mask, self._ap_vals,
             )

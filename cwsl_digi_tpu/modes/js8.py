@@ -166,13 +166,11 @@ def encode_message(text: str) -> np.ndarray:
 def synthesize(text: str, f0_hz: float = 1500.0, amplitude: float = 1.0,
                window_len: int = int(T_R * WAVE_SR),
                start_s: float = 0.5) -> np.ndarray:
-    tones = encode_message(text)
-    burst = gfsk_modulate(tones, f0_hz, SPS, WAVE_SR, SPEC.tone_spacing, bt=2.0)
-    out = np.zeros(window_len)
-    start = int(round(start_s * WAVE_SR))
-    n = min(len(burst), window_len - start)
-    out[start : start + n] = amplitude * burst[:n]
-    return out
+    from cwsl_digi_tpu.modes.gfsk import place_burst
+
+    burst = gfsk_modulate(encode_message(text), f0_hz, SPS, WAVE_SR,
+                          SPEC.tone_spacing, bt=2.0)
+    return place_burst(burst, window_len, start_s, amplitude)
 
 
 class JS8Decoder(GFSKDecoder):
@@ -181,10 +179,16 @@ class JS8Decoder(GFSKDecoder):
         if top_k or bp_iters:
             spec = dataclasses.replace(SPEC, top_k=top_k or SPEC.top_k,
                                        bp_iters=bp_iters or SPEC.bp_iters)
+        def _unpack(bits):
+            # distinguish a malformed frame (None) from a legitimately
+            # empty text frame ("")
+            text = unpack_payload(bits[:PAYLOAD_BITS])
+            return "<bad frame>" if text is None else text
+
         super().__init__(
             spec,
             BPDecoder(js8_code(), iters=spec.bp_iters),
             js8_crc_matrix(),
             Mode.JS8,
-            unpack=lambda bits: unpack_payload(bits[:PAYLOAD_BITS]) or "<bad frame>",
+            unpack=_unpack,
         )

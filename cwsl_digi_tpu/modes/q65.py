@@ -95,13 +95,11 @@ def encode_message(text: str) -> np.ndarray:
 def synthesize(text: str, f0_hz: float = 1000.0, amplitude: float = 1.0,
                window_len: int = int(T_R * WAVE_SR),
                start_s: float = 0.5) -> np.ndarray:
-    tones = encode_message(text)
-    burst = gfsk_modulate(tones, f0_hz, SPS, WAVE_SR, TONE_SPACING, bt=2.0)
-    out = np.zeros(window_len)
-    start = int(round(start_s * WAVE_SR))
-    n = min(len(burst), window_len - start)
-    out[start : start + n] = amplitude * burst[:n]
-    return out
+    from cwsl_digi_tpu.modes.gfsk import place_burst
+
+    burst = gfsk_modulate(encode_message(text), f0_hz, SPS, WAVE_SR,
+                          TONE_SPACING, bt=2.0)
+    return place_burst(burst, window_len, start_s, amplitude)
 
 
 class Q65Decoder(QaryDecoder):

@@ -156,10 +156,29 @@ class QaryDecoder:
         audio = np.asarray(audio, np.float32)
         if audio.ndim == 1:
             audio = audio[None, :]
-        out = qary_decode_program(self.spec, (audio.shape[1],), audio,
-                                  self._window, self._data_syms,
-                                  self._sync_syms)
-        return {k: np.asarray(v) for k, v in out.items()}
+        n = audio.shape[0]
+        batch = self._max_device_batch(audio.shape[1])
+        if n > batch and (-n) % batch:
+            audio = np.concatenate(
+                [audio, np.zeros(((-n) % batch, audio.shape[1]), np.float32)])
+        chunks = []
+        for i in range(0, audio.shape[0], batch):
+            out = qary_decode_program(self.spec, (audio.shape[1],),
+                                      audio[i : i + batch],
+                                      self._window, self._data_syms,
+                                      self._sync_syms)
+            chunks.append({k: np.asarray(v) for k, v in out.items()})
+        if len(chunks) == 1:
+            return {k: v[:n] for k, v in chunks[0].items()}
+        return {k: np.concatenate([c[k] for c in chunks])[:n]
+                for k in chunks[0]}
+
+    def _max_device_batch(self, n_samples: int) -> int:
+        from cwsl_digi_tpu.modes.gfsk_engine import device_batch_for
+
+        n_hops = ((n_samples - self.spec.sps) // self.spec.hop + 1
+                  + 2 * self.spec.pad_hops)
+        return device_batch_for(n_hops, self.spec.nfft, 64)
 
     def decode(self, audio: np.ndarray):
         from cwsl_digi_tpu.modes.base import DecodeResult

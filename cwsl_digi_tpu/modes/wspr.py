@@ -94,7 +94,6 @@ def interleave_map(n: int = NSYM) -> np.ndarray:
 
 
 INTERLEAVE = interleave_map()
-DEINTERLEAVE = np.argsort(INTERLEAVE).astype(np.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -119,12 +118,10 @@ def conv_encode(bits: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Message packing (callsign + grid + power, 50 bits)
+# Message packing (callsign + grid + power, 50 bits) — the call/grid charsets
+# are the protocol tables shared with the FT8 codec (message77.py)
 # ---------------------------------------------------------------------------
-_C1 = " 0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
-_C2 = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
-_C3 = "0123456789"
-_C4 = " ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+from cwsl_digi_tpu.modes.message77 import _C1, _C2, _C3, _C4  # noqa: E402
 
 
 def pack_message(callsign: str, grid: str, dbm: int) -> np.ndarray:
@@ -372,8 +369,6 @@ def _beam_decode(cfg: WSPRConfig, llr):
     metrics0 = jnp.full((n, w), -1e9, jnp.float32)
     metrics0 = metrics0.at[:, 0].set(0.0)   # single live root
     live0 = jnp.zeros((n, w), jnp.float32).at[:, 0].set(1.0)
-    # after first expansion everything descended from root is live
-    live0 = live0.at[:, :].set(jnp.where(jnp.arange(w)[None, :] == 0, 1.0, 0.0))
 
     llr_t = jnp.transpose(llr, (1, 0, 2))                     # [81, N, 2]
     is_tail = (jnp.arange(steps) >= N_MSG_BITS).astype(jnp.float32)
@@ -425,9 +420,24 @@ class WSPRDecoder:
         audio = np.asarray(audio, np.float32)
         if audio.ndim == 1:
             audio = audio[None, :]
-        out = _decode_program(self.cfg, (audio.shape[1],), audio,
-                              self._sync, self._deinter, self._window)
-        return {k: np.asarray(v) for k, v in out.items()}
+        from cwsl_digi_tpu.modes.gfsk_engine import device_batch_for
+
+        n = audio.shape[0]
+        n_hops = (audio.shape[1] - SPS) // HOP + 1 + 2 * PAD_HOPS
+        batch = device_batch_for(n_hops, NFFT, 64)
+        if n > batch and (-n) % batch:
+            audio = np.concatenate(
+                [audio, np.zeros(((-n) % batch, audio.shape[1]), np.float32)])
+        chunks = []
+        for i in range(0, audio.shape[0], batch):
+            out = _decode_program(self.cfg, (audio.shape[1],),
+                                  audio[i : i + batch],
+                                  self._sync, self._deinter, self._window)
+            chunks.append({k: np.asarray(v) for k, v in out.items()})
+        if len(chunks) == 1:
+            return {k: v[:n] for k, v in chunks[0].items()}
+        return {k: np.concatenate([c[k] for c in chunks])[:n]
+                for k in chunks[0]}
 
     def decode(self, audio: np.ndarray) -> list[list[DecodeResult]]:
         audio = np.asarray(audio, np.float32)
