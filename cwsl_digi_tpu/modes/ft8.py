@@ -68,7 +68,7 @@ SPEC = ModeSpec(
     gray_map=tuple(GRAY.tolist()),
     trperiod=T_R,
     signal_start_s=SIGNAL_START_S,
-    top_k=256,
+    top_k=512,
     bp_iters=30,
     max_hops=256,
     pad_hops=128,
