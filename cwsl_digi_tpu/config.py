@@ -225,7 +225,14 @@ def _merge_ini(cfg: Config, path: Path) -> None:
                 cfg.set(s, k, _coerce(_DEFAULTS[s][k], raw_val))
             else:
                 cfg.set(s, k, raw_val)  # tolerated unknown key
-    cfg.set("decoders", "decoders", [parse_decoder_line(l) for l in decoder_lines])
+    lines = [parse_decoder_line(l) for l in decoder_lines]
+    # calibrated = freq / (freqcalibration_global * freqcal_decoder)
+    # (reference: source/CWSL_DIGI.cpp:834) — fold the global factor in
+    cal_global = float(cfg.get("radio", "freqcalibration"))
+    if cal_global > 0 and cal_global != 1.0:
+        for line in lines:
+            line.freq_cal *= cal_global
+    cfg.set("decoders", "decoders", lines)
 
 
 def _apply_override(cfg: Config, override: str) -> None:

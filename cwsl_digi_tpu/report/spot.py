@@ -46,6 +46,9 @@ class Spot:
     epoch_time: int = 0
     decoder_index: int = 0
     drift_hz: float = 0.0   # WSPR/FST4W linear drift estimate
+    # per-decoder WSPR reporter callsign override (decoder line field 5,
+    # reference: source/CWSL_DIGI.cpp:822)
+    wspr_reporter_call: str = ""
 
     def __post_init__(self) -> None:
         if not self.epoch_time:
@@ -87,6 +90,29 @@ def extract_spot(
     return None
 
 
+# SOTAmat message prefixes (reference: OutputHandler.cpp:889-922)
+_SOTAMAT_PREFIXES = ("S", "SM", "STM", "STMT", "SOTAM", "SOTAMT", "SOTAMAT")
+
+
+def is_sotamat_message(words: list[str]) -> bool:
+    """Reference: isSOTAMATMessage (OutputHandler.cpp:889-922): 13-char
+    'PREFIX CALL/sfx' with a 2-4 char suffix on a valid base call."""
+    if len(words) != 2:
+        return False
+    prefix, call_sfx = words
+    if len(prefix) + len(call_sfx) + 1 != 13:
+        return False
+    if prefix not in _SOTAMAT_PREFIXES:
+        return False
+    pos = call_sfx.find("/")
+    if pos < 0:
+        return False
+    suffix = call_sfx[pos + 1:]
+    if not (2 <= len(suffix) <= 4):
+        return False
+    return check_call(call_sfx[:pos])
+
+
 def _spot_from_words(words, text, result, base_freq_hz, decoder_index,
                      epoch_time) -> Optional[Spot]:
     if len(words) < 2:
@@ -94,7 +120,9 @@ def _spot_from_words(words, text, result, base_freq_hz, decoder_index,
     sender = ""
     locator = ""
     report = ""
-    if words[0] == "CQ":
+    if is_sotamat_message(words):
+        sender = words[1].split("/")[0]
+    elif words[0] == "CQ":
         # CQ [TAG] CALL [GRID]
         rest = words[1:]
         if len(rest) >= 2 and not _plausible_call(rest[0]) and _plausible_call(rest[1]):
@@ -104,7 +132,7 @@ def _spot_from_words(words, text, result, base_freq_hz, decoder_index,
         sender = rest[0]
         if len(rest) >= 2 and is_valid_locator(rest[1]):
             locator = rest[1]
-    elif words[0] in ("DE", "QRZ") and len(words) >= 2:
+    elif words[0] in ("DE", "QRZ"):
         sender = words[1]
         if len(words) >= 3 and is_valid_locator(words[2]):
             locator = words[2]
@@ -172,8 +200,11 @@ class SpotHandler:
         base_freq_hz: int,
         decoder_index: int = 0,
         epoch_time: int | None = None,
+        wspr_reporter_call: str = "",
     ) -> Optional[Spot]:
         spot = extract_spot(result, base_freq_hz, decoder_index, epoch_time)
+        if spot is not None and wspr_reporter_call:
+            spot.wspr_reporter_call = wspr_reporter_call
         if spot is None:
             if self.bad_msg_log:
                 with open(self.bad_msg_log, "a") as f:

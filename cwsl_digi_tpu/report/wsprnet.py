@@ -90,12 +90,14 @@ class WSPRNet:
             threading.Thread(target=self._loop, name="wsprnet", daemon=True).start()
 
     def handle(self, spot: Spot, reporter_callsign: str = "") -> None:
-        """Reference signature includes the per-decoder WSPR reporter
-        callsign override (decoder line field 5, source/CWSL_DIGI.cpp:822)."""
+        """The per-decoder WSPR reporter callsign override rides on the spot
+        (decoder line field 5, source/CWSL_DIGI.cpp:822)."""
         if spot.mode not in MODE_CODES:
             return
+        rcall = (reporter_callsign or spot.wspr_reporter_call
+                 or self.default_callsign)
         with self._lock:
-            self._pending.append((spot, reporter_callsign or self.default_callsign))
+            self._pending.append((spot, rcall))
 
     def terminate(self) -> None:
         self._terminate = True

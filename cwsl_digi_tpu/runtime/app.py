@@ -132,11 +132,15 @@ class App:
             else:
                 line = jt9format.format_jt9(res, job.epoch_time)
             self.printer.info(line)
+        wspr_call = ""
+        if job.wspr_callsigns:
+            wspr_call = job.wspr_callsigns[ci]
         self.spots.handle(
             res,
             base_freq_hz=job.base_freqs[ci],
             decoder_index=job.decoder_indices[ci],
             epoch_time=job.epoch_time,
+            wspr_reporter_call=wspr_call,
         )
 
     # -- construction -------------------------------------------------------

@@ -48,6 +48,31 @@ def test_extract_rejects_bad_calls():
     assert extract_spot(_res(""), 14_074_000) is None
 
 
+def test_sotamat_message():
+    # reference: isSOTAMATMessage, OutputHandler.cpp:889-922
+    # "STMT W2AXR/23" is exactly 13 chars with a valid 2-char suffix
+    s = extract_spot(_res("STMT W2AXR/23"), 14_074_000)
+    assert s is not None and s.callsign == "W2AXR"
+    # non-SOTAmat forms fall through to the generic two-word grammar,
+    # which reports the second word verbatim
+    s = extract_spot(_res("XTMT W2AXR/23"), 14_074_000)
+    assert s.callsign == "W2AXR/23"
+
+
+def test_wspr_reporter_override():
+    from cwsl_digi_tpu.report.wsprnet import WSPRNet
+
+    calls = []
+    w = WSPRNet("FN13", "W2AXR", post_fn=lambda f: calls.append(f) or True,
+                start_thread=False)
+    s = _spot(mode=Mode.WSPR)
+    s.locator = "EN34"
+    s.wspr_reporter_call = "W2AXR/P"
+    w.handle(s)
+    w.flush()
+    assert calls[0]["rcall"] == "W2AXR/P"
+
+
 def test_extract_hashed_call_and_error_flags():
     s = extract_spot(_res("K1ABC <PJ4/K1XYZ> RR73 ?"), 14_074_000)
     assert s.callsign == "PJ4/K1XYZ"
