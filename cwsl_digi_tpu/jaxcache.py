@@ -24,7 +24,11 @@ def enable(cache_dir: str | None = None) -> None:
         return
     import jax
 
-    d = Path(cache_dir or _DEFAULT)
+    # segregate by backend: remote-compile services (axon) cache host-CPU
+    # AOT code built for THEIR machine; loading those entries on a local
+    # CPU backend risks SIGILL from mismatched CPU features
+    backend = jax.default_backend()
+    d = Path(cache_dir or _DEFAULT) / backend
     d.mkdir(parents=True, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(d))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

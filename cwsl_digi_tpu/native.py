@@ -143,6 +143,7 @@ class NativeShmSource:
         self.block_size = bis.value
         self.lo_freq = int(l0.value)
         self.num_blocks = nb.value
+        self.live = True    # a timeout just means the writer is idle
 
     def read_block(self, timeout: float = 1.0) -> Optional[np.ndarray]:
         out = np.empty(self.block_size, np.complex64)

@@ -223,8 +223,11 @@ class PSKReporter:
                 pkt += DESCRIPTOR_SENDER_NO_LOCATOR
             pkt += build_receiver_info(self.callsign, self.locator)
             added = 0
-            while i < len(spots) and len(pkt) <= MAX_UDP_PAYLOAD_SIZE:
-                pkt += build_sender_record(spots[i])
+            while i < len(spots):
+                rec = build_sender_record(spots[i])
+                if added and len(pkt) + len(rec) > MAX_UDP_PAYLOAD_SIZE:
+                    break   # record goes into the next datagram
+                pkt += rec
                 i += 1
                 added += 1
             if added:

@@ -82,16 +82,24 @@ def build_wsjtx_decode(program: str, snr: int, delta_freq: int, mode: str,
 
 
 def build_custom_status(highest_decode_freq: int,
-                        decoders: list[DecoderEntry]) -> bytes:
-    """The 01..08-headed decoder-list datagram
-    (source/RBNHandler.hpp:154-170)."""
-    p = bytearray(STATUS_HEADER)
-    p += struct.pack(">I", highest_decode_freq)
-    p += bytes([len(decoders)])
-    for d in decoders:
-        p += _s(d.mode)
-        p += struct.pack(">Q", d.freq)
-    return bytes(p)
+                        decoders: list[DecoderEntry]) -> list[bytes]:
+    """The 01..08-headed decoder-list datagram(s)
+    (source/RBNHandler.hpp:154-170).
+
+    The count field is one byte, so configurations beyond 255 decoders
+    (routine at this framework's scale) are split across datagrams.
+    """
+    out = []
+    for i in range(0, max(len(decoders), 1), 255):
+        chunk = decoders[i : i + 255]
+        p = bytearray(STATUS_HEADER)
+        p += struct.pack(">I", highest_decode_freq)
+        p += bytes([len(chunk)])
+        for d in chunk:
+            p += _s(d.mode)
+            p += struct.pack(">Q", d.freq)
+        out.append(bytes(p))
+    return out
 
 
 class RBNHandler:
@@ -142,7 +150,7 @@ class RBNHandler:
             spots = self._pending
             statuses = self._status_pending
             self._pending, self._status_pending = [], []
-        packets = [build_custom_status(h, d) for h, d in statuses]
+        packets = [p for h, d in statuses for p in build_custom_status(h, d)]
         for spot in spots:
             mode = reporting_mode_name(spot.mode)
             # status datagram on band/mode change (reference :176-181)

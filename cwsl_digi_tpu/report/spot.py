@@ -120,7 +120,15 @@ def _spot_from_words(words, text, result, base_freq_hz, decoder_index,
     sender = ""
     locator = ""
     report = ""
-    if is_sotamat_message(words):
+    if result.mode == Mode.WSPR or is_mode_fst4w(result.mode):
+        # beacon grammar: 'CALL GRID PWR' (the reference parses wsprd's
+        # 8-field lines instead, OutputHandler.cpp:314-401)
+        sender = words[0]
+        if len(words) >= 2 and is_valid_locator(words[1]):
+            locator = words[1]
+        if len(words) >= 3 and words[2].lstrip("+-").isdigit():
+            report = words[2]   # transmitted power, dBm
+    elif is_sotamat_message(words):
         sender = words[1].split("/")[0]
     elif words[0] == "CQ":
         # CQ [TAG] CALL [GRID]

@@ -108,8 +108,12 @@ class WSPRNet:
             self._pending = []
         n = 0
         for spot, rcall in items:
+            try:
+                dbm = int(spot.report)
+            except (TypeError, ValueError):
+                dbm = 0
             fields = build_post_fields(spot, rcall, self.operator_grid,
-                                       spot.base_freq_hz,
+                                       spot.base_freq_hz, dbm=dbm,
                                        drift=int(round(spot.drift_hz)))
             ok = False
             for _ in range(RETRIES):

@@ -152,9 +152,8 @@ class App:
         except KeyError:
             return None
 
-    def setup_receivers(self, utc_anchor: float) -> None:
-        """Group decoder lines by capture source and build Receivers
-        (reference: setupDecoder loop, source/CWSL_DIGI.cpp:1181-1188)."""
+    def _group_lines(self, warn: bool = True) -> dict[str, list[int]]:
+        """Decoder-line indices grouped by capture-source spec."""
         groups: dict[str, list[int]] = {}
         for i, line in enumerate(self.cfg.decoders):
             spec = self._source_spec_for(line.smnum)
@@ -163,13 +162,21 @@ class App:
 
                 name = find_band(line.calibrated_freq, line.smnum)
                 if name is None:
-                    self.printer.warn(
-                        f"no capture source covers {line.freq} Hz — skipped "
-                        f"(will retry, reference behavior CWSL_DIGI.cpp:109-113)"
-                    )
+                    if warn:
+                        self.printer.warn(
+                            f"no capture source covers {line.freq} Hz — "
+                            f"skipped (will retry, reference behavior "
+                            f"CWSL_DIGI.cpp:109-113)"
+                        )
                     continue
                 spec = f"shm:{name}"
             groups.setdefault(spec, []).append(i)
+        return groups
+
+    def setup_receivers(self, utc_anchor: float) -> None:
+        """Group decoder lines by capture source and build Receivers
+        (reference: setupDecoder loop, source/CWSL_DIGI.cpp:1181-1188)."""
+        groups = self._group_lines()
 
         for spec, idxs in groups.items():
             if spec in self.receivers:
@@ -212,15 +219,19 @@ class App:
 
         from cwsl_digi_tpu.constants import WAVE_SR
 
-        counts: dict = {}
-        for line in self.cfg.decoders:
-            counts[line.mode] = counts.get(line.mode, 0) + 1
-        for mode, n_ch in sorted(counts.items(), key=lambda kv: kv[0].value):
+        # receivers submit one batch per (capture source, mode), so warm
+        # exactly those shapes
+        shapes: set[tuple] = set()
+        for spec, idxs in self._group_lines(warn=False).items():
+            counts: dict = {}
+            for i in idxs:
+                m = self.cfg.decoders[i].mode
+                counts[m] = counts.get(m, 0) + 1
+            shapes.update(counts.items())
+        for mode, n_ch in sorted(shapes, key=lambda kv: (kv[0].value, kv[1])):
             t0 = time.monotonic()
             dec = self.pool._decoder_factory(mode)
             n = int(get_rx_period(mode) * WAVE_SR)
-            # compile the shape the receivers will actually submit:
-            # one batched window across this mode's channels
             dec.decode(np.zeros((n_ch, n), np.float32))
             self.printer.info(
                 f"warmup: {mode.value} x{n_ch} decode program compiled in "

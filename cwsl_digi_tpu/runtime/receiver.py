@@ -88,15 +88,25 @@ class Receiver:
         self._mode_rows: dict[Mode, list[int]] = {}
         for i, line in enumerate(lines):
             self._mode_rows.setdefault(line.mode, []).append(i)
-        # per-mode assembly buffers [C_mode, window_samples]
+        # per-mode assembly buffers [C_mode, window_samples].  Each mode's
+        # windows must start on ITS OWN period boundary (the reference's
+        # per-cadence sync threads, CWSL_DIGI.cpp:174-451): audio before the
+        # first boundary of T_m at/after utc_anchor is skipped per mode.
         self._buffers: dict[Mode, np.ndarray] = {}
         self._written: dict[Mode, int] = {}
         self._window_index: dict[Mode, int] = {}
+        self._skip: dict[Mode, int] = {}
+        self._epoch0: dict[Mode, float] = {}
         for mode, rows in self._mode_rows.items():
-            n = int(round(get_rx_period(mode) * WAVE_SR))
+            trp = get_rx_period(mode)
+            n = int(round(trp * WAVE_SR))
             self._buffers[mode] = np.zeros((len(rows), n), np.float32)
             self._written[mode] = 0
             self._window_index[mode] = 0
+            k = int(np.ceil((utc_anchor - 1e-6) / trp))
+            boundary = max(k, 0) * trp
+            self._epoch0[mode] = boundary
+            self._skip[mode] = int(round((boundary - utc_anchor) * WAVE_SR))
         self._iq_leftover = np.zeros(0, np.complex64)
 
     # -- reference API ------------------------------------------------------
@@ -131,6 +141,12 @@ class Receiver:
             while not self._terminate.is_set():
                 block = self.source.read_block(timeout=1.0)
                 if block is None:
+                    # live sources time out when the writer is idle — keep
+                    # waiting; only a true end-of-stream finishes the
+                    # receiver (reference: SM.WaitForNewData timeout just
+                    # loops, Receiver.hpp:235-237)
+                    if getattr(self.source, "live", False):
+                        continue
                     self.status = Status.FINISHED
                     self._flush_partials()
                     return
@@ -161,6 +177,12 @@ class Receiver:
             buf = self._buffers[mode]
             cap = buf.shape[1]
             data = audio[rows]
+            if self._skip[mode] > 0:
+                drop = min(self._skip[mode], data.shape[1])
+                self._skip[mode] -= drop
+                if drop == data.shape[1]:
+                    continue
+                data = data[:, drop:]
             pos = 0
             while pos < data.shape[1]:
                 w = self._written[mode]
@@ -180,7 +202,7 @@ class Receiver:
             audio=self._buffers[mode].copy(),
             base_freqs=[self.lines[i].freq for i in rows],
             decoder_indices=[self.line_indices[i] for i in rows],
-            epoch_time=int(self.utc_anchor + k * trp),
+            epoch_time=int(self._epoch0[mode] + k * trp),
             wspr_callsigns=[self.lines[i].wspr_call for i in rows],
         )
         self.pool.push(job)

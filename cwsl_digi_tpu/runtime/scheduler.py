@@ -70,19 +70,13 @@ class CadenceScheduler:
             self._thread = None
 
     def _loop(self) -> None:
-        # track the last boundary fired per period to avoid double-fires
-        last_fired = {p: next_period_boundary(p) - p for p in self.periods}
+        # single source of truth: run_once handles firing state, including
+        # subscriptions added after start()
         while not self._terminate.is_set():
+            next_due = self.run_once()
             now = time.time()
-            for period, cb in self._subs:
-                boundary = last_fired[period] + period
-                if now + 1e-9 >= boundary:
-                    cb(boundary)
-                    last_fired[period] = boundary
-            soonest = min(
-                (last_fired[p] + p for p, _ in self._subs),
-                default=now + MAX_SLEEP_MS / 1000.0,
-            )
-            sleep = min(max(soonest - time.time(), MIN_SLEEP_MS / 1000.0),
+            if next_due == float("inf"):
+                next_due = now + MAX_SLEEP_MS / 1000.0
+            sleep = min(max(next_due - now, MIN_SLEEP_MS / 1000.0),
                         MAX_SLEEP_MS / 1000.0)
             self._terminate.wait(sleep)

@@ -104,6 +104,7 @@ class ShmSource:
         self.block_size = bis
         self.lo_freq = int(l0)
         self.num_blocks = nb
+        self.live = True    # a timeout just means the writer is idle
         self._read_count = wc   # start at current head (like opening mid-stream)
         self._ring = np.ndarray(
             (nb, bis), dtype=np.complex64, buffer=self._shm.buf,

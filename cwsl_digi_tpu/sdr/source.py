@@ -32,6 +32,7 @@ class IQSource(Protocol):
     sample_rate: int
     lo_freq: int            # center frequency of the IQ stream, Hz
     block_size: int         # complex samples per block
+    live: bool              # True: read_block None means timeout, not EOF
 
     def read_block(self, timeout: float = 1.0) -> Optional[np.ndarray]:
         """Next block of complex64 IQ, or None on timeout/end."""
@@ -57,6 +58,7 @@ class ReplaySource:
         self.block_size = int(block_size) or self.sample_rate // 4
         self.realtime = realtime
         self.loop = loop
+        self.live = False       # replay: None from read_block = end of file
         self._data = self._load(Path(path))
         self._pos = 0
         self._t0 = time.monotonic()
@@ -122,6 +124,7 @@ class SyntheticSource:
         self.lo_freq = int(lo_freq)
         self.block_size = int(block_size) or self.sample_rate // 4
         self.noise = noise_amplitude
+        self.live = False       # synthetic never returns None anyway
         self._rng = np.random.default_rng(seed)
         self.realtime = realtime
         self._signals: list[tuple[int, np.ndarray]] = []  # (abs start sample, iq)
@@ -162,23 +165,29 @@ class SocketSource:
         self.sample_rate = int(sample_rate)
         self.lo_freq = int(lo_freq)
         self.block_size = int(block_size) or self.sample_rate // 4
+        self.live = True        # timeouts are not end-of-stream
         self._sock = _socket.create_connection((host, port), timeout=5.0)
+        self._buf = b""         # partial block carried across timeouts
+        self._eof = False
 
     def read_block(self, timeout: float = 1.0) -> Optional[np.ndarray]:
+        if self._eof:
+            return None
         self._sock.settimeout(timeout)
         need = self.block_size * 8
-        chunks = []
-        got = 0
         try:
-            while got < need:
-                chunk = self._sock.recv(need - got)
+            while len(self._buf) < need:
+                chunk = self._sock.recv(need - len(self._buf))
                 if not chunk:
+                    self._eof = True
+                    self.live = False   # peer closed: None now means EOF
                     return None
-                chunks.append(chunk)
-                got += len(chunk)
+                self._buf += chunk
         except TimeoutError:
+            # keep the partial block; the stream stays byte-aligned
             return None
-        flat = np.frombuffer(b"".join(chunks), np.float32)
+        flat = np.frombuffer(self._buf[:need], np.float32)
+        self._buf = self._buf[need:]
         return (flat[0::2] + 1j * flat[1::2]).astype(np.complex64)
 
     def close(self) -> None:
@@ -229,5 +238,6 @@ def open_source(spec: str, sample_rate: int = 0, lo_freq: int = 0,
         host, _, port = rest.rpartition(":")
         return SocketSource(host, int(port), sample_rate, lo_freq, block_size)
     if kind == "synthetic":
-        return SyntheticSource(sample_rate, lo_freq, block_size)
+        return SyntheticSource(sample_rate, lo_freq, block_size,
+                               realtime=realtime)
     raise ValueError(f"unknown source spec: {spec}")

@@ -199,12 +199,18 @@ def test_rbn_status_on_band_change():
 
 
 def test_rbn_custom_status():
-    d = rbn.build_custom_status(3000, [rbn.DecoderEntry("FT8", 14_074_000),
-                                       rbn.DecoderEntry("WSPR", 14_095_600)])
+    pkts = rbn.build_custom_status(3000, [rbn.DecoderEntry("FT8", 14_074_000),
+                                          rbn.DecoderEntry("WSPR", 14_095_600)])
+    assert len(pkts) == 1
+    d = pkts[0]
     assert d[:8] == bytes([1, 2, 3, 4, 5, 6, 7, 8])
     assert struct.unpack(">I", d[8:12])[0] == 3000
     assert d[12] == 2
     assert struct.unpack(">Q", d[17 + 3 : 17 + 3 + 8])[0] == 14_074_000
+    # >255 decoders split across datagrams (count field is one byte)
+    many = [rbn.DecoderEntry("FT8", 14_074_000 + i) for i in range(300)]
+    pkts = rbn.build_custom_status(3000, many)
+    assert len(pkts) == 2 and pkts[0][12] == 255 and pkts[1][12] == 45
 
 
 # ---------------------------------------------------------------------------

@@ -197,7 +197,7 @@ def test_receiver_end_to_end_ft8():
         src,
         [DecoderLine(dial, Mode.FT8), DecoderLine(14_080_000, Mode.FT8)],
         pool,
-        utc_anchor=1_700_000_000,
+        utc_anchor=1_699_999_995,
     )
     try:
         # feed 31 s of stream time directly (no thread; deterministic)
@@ -209,11 +209,28 @@ def test_receiver_end_to_end_ft8():
         while pool.count_decoded_windows < 4 and time.monotonic() < deadline:
             time.sleep(0.05)
         msgs = {(e, ci, m) for e, ci, m in spots}
-        assert (1_700_000_000, 0, text) in msgs      # window 0, channel 0
-        assert (1_700_000_015, 0, text) in msgs      # window 1
+        assert (1_699_999_995, 0, text) in msgs      # window 0, channel 0
+        assert (1_700_000_010, 0, text) in msgs      # window 1
         assert all(ci == 0 for _, ci, _ in spots)    # other channel quiet
     finally:
         pool.terminate()
+
+
+def test_receiver_aligns_each_mode_to_its_own_period():
+    """Long-mode windows start on their OWN period boundary, not the 15 s
+    app anchor (a WSPR window anchored at XX:00:45 would miss every real
+    transmission)."""
+    src = SyntheticSource(48_000, 14_080_000, block_size=48_000 // 2)
+    pool = DecoderPool(num_workers=1, decoder_factory=_FakeDecoder)
+    rx = Receiver(
+        src,
+        [DecoderLine(14_074_000, Mode.FT8), DecoderLine(14_078_000, Mode.WSPR)],
+        pool,
+        utc_anchor=30.0,   # a 15 s boundary but NOT a 120 s boundary
+    )
+    assert rx._skip[Mode.FT8] == 0 and rx._epoch0[Mode.FT8] == 30.0
+    assert rx._epoch0[Mode.WSPR] == 120.0
+    assert rx._skip[Mode.WSPR] == 90 * 12_000
 
 
 def test_receiver_thread_and_status(tmp_path):
