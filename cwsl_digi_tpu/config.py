@@ -56,20 +56,24 @@ _DEFAULTS: dict[str, dict[str, Any]] = {
         "maxwsprdinstances": -1,
         "numjt9threads": 3,           # config.ini:205-207
         "keepwav": False,             # config.ini:209-211
-        "ftdecoderdepth": 3,          # config.ini:213-215
-        "wsprcyclesperbit": 3000,     # config.ini:217-222
+        "decodedepth": 3,             # config.ini:213-215
+        "wsprcycles": 3000,           # config.ini:217-222
         "highestdecodefreq": 3000,
         "binpath": "",
         "temppath": "",
-        "decodeusingshmem": True,     # config.ini:161-163
+        "transfermethod": "shmem",    # config.ini:147-164 (no-op here: no
+                                      # child processes; tolerated for compat)
+        "ftaudioscalefactor": 0.90,   # config.ini:166-175
+        "wspraudioscalefactor": 0.20,
     },
     "js8call": {"binpath": ""},
     "reporting": {
         "pskreporter": False,
         "wsprnet": False,
-        "aggregator": False,
+        "rbn": False,                 # config.ini:238-240
         "aggregatorip": "127.0.0.1",  # config.ini:241-245
         "aggregatorport": 2215,
+        "ignoredcalls": "",           # space-separated list, config.ini:247-251
     },
     "logging": {
         "loglevel": 3,
@@ -80,7 +84,6 @@ _DEFAULTS: dict[str, dict[str, Any]] = {
         "badmsglog": "",
         "logreports": True,
         "statsreportinginterval": 300,  # config.ini:256-258
-        "ignoredcallsignsfile": "",
     },
 }
 

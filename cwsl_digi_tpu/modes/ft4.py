@@ -90,13 +90,15 @@ def synthesize(text: str, f0_hz: float = 1500.0, amplitude: float = 1.0,
 
 
 class FT4Decoder(GFSKDecoder):
-    def __init__(self, top_k: int | None = None, bp_iters: int | None = None):
+    def __init__(self, top_k: int | None = None, bp_iters: int | None = None,
+                 depth: int | None = None):
         import dataclasses as _dc
 
         spec = SPEC
-        if top_k or bp_iters:
+        if top_k or bp_iters or depth:
             spec = _dc.replace(SPEC, top_k=top_k or SPEC.top_k,
-                               bp_iters=bp_iters or SPEC.bp_iters)
+                               bp_iters=bp_iters or SPEC.bp_iters,
+                               depth=depth or SPEC.depth)
         super().__init__(
             spec,
             get_bp_decoder("ft8", iters=spec.bp_iters),

@@ -152,11 +152,12 @@ class FT8Decoder(GFSKDecoder):
     def __init__(self, top_k: int | None = None, bp_iters: int | None = None,
                  spec: ModeSpec | None = None,
                  ap: np.ndarray | bool | None = None,
-                 my_call: str = ""):
+                 my_call: str = "", depth: int | None = None):
         s = spec or SPEC
-        if top_k or bp_iters:
+        if top_k or bp_iters or depth:
             s = dataclasses.replace(s, top_k=top_k or s.top_k,
-                                    bp_iters=bp_iters or s.bp_iters)
+                                    bp_iters=bp_iters or s.bp_iters,
+                                    depth=depth or s.depth)
         if ap is True or (ap is None and my_call):
             ap = ap_hypotheses(my_call)
         elif ap is False:

@@ -67,7 +67,7 @@ class ModeSpec:
     nms: bool = False             # NMS loses the multi-offset candidates that
                                   # rescue off-grid signals; keep all cells
     depth: int = 2                # decode passes with signal subtraction
-                                  # (reference ftdecoderdepth, config.ini:213)
+                                  # (reference decodedepth, config.ini:213)
     bt: float = 2.0               # GFSK Gaussian BT (for reconstruction)
 
     @property

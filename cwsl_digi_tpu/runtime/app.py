@@ -63,7 +63,7 @@ class App:
                 cfg.get("operator", "gridsquare"),
                 log=self.printer.debug,
             ))
-        if cfg.get("reporting", "aggregator"):
+        if cfg.get("reporting", "rbn"):
             self.rbn = RBNHandler(
                 cfg.get("operator", "callsign"),
                 cfg.get("operator", "gridsquare"),
@@ -90,6 +90,11 @@ class App:
         if cfg.get("wsjtx", "keepwav"):
             keep_wav_dir = cfg.get("wsjtx", "temppath") or "keepwav"
 
+        # decodedepth (config.ini:213-215, jt9 -d flag) and wsprcycles
+        # (config.ini:217-222, wsprd -C flag) map to native decoder knobs
+        depth = max(1, min(3, int(cfg.get("wsjtx", "decodedepth"))))
+        cycles = int(cfg.get("wsjtx", "wsprcycles"))
+
         def decoder_factory(mode):
             from cwsl_digi_tpu.constants import Mode as _M
             from cwsl_digi_tpu.modes.base import get_decoder
@@ -97,7 +102,12 @@ class App:
             # FT8 gets a-priori hypotheses seeded with the operator callsign
             # (reference AP flags, source/DecoderPool.hpp:466-469)
             if mode == _M.FT8:
-                return get_decoder(mode, my_call=cfg.get("operator", "callsign"))
+                return get_decoder(mode, my_call=cfg.get("operator", "callsign"),
+                                   depth=depth)
+            if mode == _M.FT4:
+                return get_decoder(mode, depth=depth)
+            if mode == _M.WSPR:
+                return get_decoder(mode, cycles=cycles)
             return get_decoder(mode)
 
         self.pool = DecoderPool(
@@ -108,16 +118,17 @@ class App:
             log=self.printer.debug,
             keep_wav_dir=keep_wav_dir,
             decoder_factory=decoder_factory,
+            wav_scale_ft=float(cfg.get("wsjtx", "ftaudioscalefactor")),
+            wav_scale_wspr=float(cfg.get("wsjtx", "wspraudioscalefactor")),
         )
 
     def _load_ignored(self) -> list[str]:
-        path = self.cfg.get("logging", "ignoredcallsignsfile")
-        if not path:
-            return []
-        try:
-            return [l.strip() for l in open(path) if l.strip()]
-        except OSError:
-            return []
+        # reference: reporting.ignoredcalls multitoken list
+        # (source/CWSL_DIGI.cpp:549, config.ini:247-251)
+        raw = self.cfg.get("reporting", "ignoredcalls")
+        if isinstance(raw, str):
+            return raw.upper().split()
+        return [str(c).upper() for c in raw]
 
     def _on_result(self, job, ci, res):
         # `printjt9output` analogue: echo decodes in jt9/wsprd text format

@@ -65,6 +65,8 @@ class DecoderPool:
         log: Callable[[str], None] | None = None,
         decoder_factory: Callable[[Mode], object] = get_decoder,
         keep_wav_dir: str | None = None,
+        wav_scale_ft: float = 0.90,
+        wav_scale_wspr: float = 0.20,
     ) -> None:
         self.num_workers = max(1, num_workers)
         self.max_long_workers = min(max_long_workers, self.num_workers)
@@ -74,6 +76,10 @@ class DecoderPool:
         self._decoder_factory = decoder_factory
         # `keepwav` (reference: config.ini:209-211, DecoderPool.hpp:1105-1114)
         self.keep_wav_dir = keep_wav_dir
+        # prepareAudio scale factors ({ft,wspr}audioscalefactor,
+        # config.ini:166-175, source/CWSL_DIGI.cpp:100-101)
+        self.wav_scale_ft = wav_scale_ft
+        self.wav_scale_wspr = wav_scale_wspr
         self._short: "queue.Queue[DecodeJob]" = queue.Queue()
         self._long: "queue.Queue[DecodeJob]" = queue.Queue()
         self._terminate = threading.Event()
@@ -179,10 +185,12 @@ class DecoderPool:
 
         d = Path(self.keep_wav_dir)
         d.mkdir(parents=True, exist_ok=True)
+        scale = (self.wav_scale_wspr if job.mode == Mode.WSPR
+                 else self.wav_scale_ft)
         for ci in range(job.audio.shape[0]):
             name = (f"{job.epoch_time}_{job.mode.value}_"
                     f"{job.base_freqs[ci]}_{uuid.uuid4().hex[:8]}.wav")
-            write_wav(d / name, prepare_audio(job.audio[ci], 0.9))
+            write_wav(d / name, prepare_audio(job.audio[ci], scale))
 
     def _decode(self, job: DecodeJob) -> None:
         t0 = time.monotonic()

@@ -60,7 +60,7 @@ def test_ini_and_overrides(tmp_path):
             decoder=7074000 FT8
             decoder=14095600 WSPR
             [wsjtx]
-            ftdecoderdepth=2
+            decodedepth=2
             unknownkey=tolerated
             [reporting]
             pskreporter=true
@@ -70,12 +70,12 @@ def test_ini_and_overrides(tmp_path):
     cfg = load_config(ini)
     assert cfg.get("operator", "callsign") == "W2AXR"
     assert cfg.get("radio", "freqcalibration") == pytest.approx(1.000000048)
-    assert cfg.get("wsjtx", "ftdecoderdepth") == 2
+    assert cfg.get("wsjtx", "decodedepth") == 2
     assert cfg.get("reporting", "pskreporter") is True
     assert len(cfg.decoders) == 3
-    cfg2 = load_config(ini, overrides=["wsjtx.ftdecoderdepth=3",
+    cfg2 = load_config(ini, overrides=["wsjtx.decodedepth=3",
                                        "decoders.decoder=7038600 WSPR"])
-    assert cfg2.get("wsjtx", "ftdecoderdepth") == 3
+    assert cfg2.get("wsjtx", "decodedepth") == 3
     assert len(cfg2.decoders) == 4
 
 
@@ -90,3 +90,73 @@ def test_pool_sizing_heuristic():
     n = cfg.num_decode_slots()
     assert n == round(10 / 5 + 3 / 3 + 0.55) == 4
     assert cfg.max_long_slots() == max(1, round(n * 3 / 13))
+
+
+def test_reference_config_keys(tmp_path):
+    """Every key from the reference's option table (source/CWSL_DIGI.cpp:537-574)
+    parses under its exact reference name."""
+    ini = tmp_path / "config.ini"
+    ini.write_text(
+        textwrap.dedent(
+            """\
+            [radio]
+            freqcalibration=1.0
+            sharedmem=-1
+            [operator]
+            callsign=W2AXR
+            gridsquare=FN13
+            [decoders]
+            decoder=14074000 FT8
+            [wsjtx]
+            decoderburden=1.5
+            keepwav=true
+            numjt9instances=4
+            maxwsprdinstances=2
+            numjt9threads=3
+            highestdecodefreq=4000
+            decodedepth=3
+            temppath=/tmp/x
+            binpath=/opt/wsjtx/bin
+            ftaudioscalefactor=0.85
+            wspraudioscalefactor=0.25
+            maxdataage=5
+            wsprcycles=500
+            transfermethod=wavfile
+            [js8call]
+            binpath=/opt/js8call/bin
+            [reporting]
+            pskreporter=true
+            wsprnet=true
+            rbn=true
+            aggregatorport=2216
+            aggregatorip=10.0.0.1
+            ignoredcalls=BADCALL1 BADCALL2
+            [logging]
+            statsreportinginterval=60
+            decodesfile=dec.log
+            logreports=false
+            printjt9output=true
+            loglevel=5
+            badmsglog=bad.log
+            logimmediately=true
+            logfile=out.log
+            """
+        )
+    )
+    cfg = load_config(ini)
+    assert cfg.get("wsjtx", "decoderburden") == pytest.approx(1.5)
+    assert cfg.get("wsjtx", "keepwav") is True
+    assert cfg.get("wsjtx", "numjt9instances") == 4
+    assert cfg.get("wsjtx", "maxwsprdinstances") == 2
+    assert cfg.get("wsjtx", "highestdecodefreq") == 4000
+    assert cfg.get("wsjtx", "decodedepth") == 3
+    assert cfg.get("wsjtx", "ftaudioscalefactor") == pytest.approx(0.85)
+    assert cfg.get("wsjtx", "wspraudioscalefactor") == pytest.approx(0.25)
+    assert cfg.get("wsjtx", "wsprcycles") == 500
+    assert cfg.get("wsjtx", "transfermethod") == "wavfile"
+    assert cfg.get("reporting", "rbn") is True
+    assert cfg.get("reporting", "aggregatorip") == "10.0.0.1"
+    assert cfg.get("reporting", "aggregatorport") == 2216
+    assert cfg.get("reporting", "ignoredcalls") == "BADCALL1 BADCALL2"
+    assert cfg.get("logging", "statsreportinginterval") == 60
+    assert cfg.get("logging", "logreports") is False

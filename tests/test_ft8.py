@@ -89,7 +89,7 @@ def test_ap_decoding_extends_floor():
 
 def test_multipass_subtraction_uncovers_buried_signal():
     """Depth>=2 decodes a signal 15 dB under a co-channel strong one
-    (reference deep-decode behavior, ftdecoderdepth config.ini:213-215)."""
+    (reference deep-decode behavior, decodedepth config.ini:213-215)."""
     dec = ft8.FT8Decoder()
     strong, weak = "CQ W2AXR FN13", "K1ABC W9XYZ -15"
     a = ft8.synthesize(strong, 1500.0, amplitude=1.0, start_s=0.5)
