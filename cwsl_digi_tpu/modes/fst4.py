@@ -85,13 +85,15 @@ def fst4_crc_matrix() -> np.ndarray:
 def make_spec(mode: Mode) -> ModeSpec:
     period, is_w = _FST4_MODES[mode]
     sps = SPS_BY_PERIOD[period]
-    # reference band limits: FST4W 900-1100 Hz, FST4-300 700-1100, else
-    # the normal band (source/DecoderPool.hpp:530-573,655-658); we search
-    # a window around 1000 Hz for the slow modes to bound the bin count.
+    # reference band limits: FST4W 1400-1600 Hz (nfqso=1500, file path
+    # "-L 1400 -H 1600", source/DecoderPool.hpp:536-567,1031-1034);
+    # FST4 900-1100 Hz (300 s: 700-1100) (source/DecoderPool.hpp:490-534).
     if is_w:
-        fmin, fmax = 900.0, 1100.0
-    elif period >= 300:
+        fmin, fmax = 1400.0, 1600.0
+    elif period == 300:
         fmin, fmax = 700.0, 1100.0
+    elif period >= 60:
+        fmin, fmax = 900.0, 1100.0
     else:
         fmin, fmax = 300.0, 2400.0
     # keep the candidate grid small for very long symbols

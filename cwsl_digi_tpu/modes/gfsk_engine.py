@@ -141,7 +141,9 @@ def decode_program(
     sps, hop, nfft = spec.sps, spec.hop, spec.nfft
     n_hops = (n_samples - sps) // hop + 1
     fmin_bin = int(spec.fmin_hz / spec.bin_hz)
-    fmax_bin = int(spec.fmax_hz / spec.bin_hz)
+    # upper band edge inclusive (reference nfa..nfb is a closed range):
+    # +1 so a signal at exactly fmax_hz still has an f0 candidate
+    fmax_bin = int(np.ceil(spec.fmax_hz / spec.bin_hz)) + 1
     n_bins = fmax_bin - fmin_bin + spec.os_f * spec.n_tones
 
     # --- 1. spectrograms --------------------------------------------------

@@ -40,7 +40,7 @@ def test_fst4_60_decode():
 def test_fst4w_120_decode():
     dec = fst4.FST4Decoder(Mode.FST4W_120, top_k=16, bp_iters=30)
     text = "W2AXR FN13 30"
-    audio = fst4.synthesize(text, Mode.FST4W_120, f0_hz=1000.0)
+    audio = fst4.synthesize(text, Mode.FST4W_120, f0_hz=1500.0)
     res = dec.decode(audio)[0]
     assert res and res[0].message == text
 
