@@ -60,8 +60,8 @@ SPEC = QarySpec(
     fmin_hz=400.0,
     fmax_hz=2000.0,
     top_k=24,
-    max_hops=64,
-    pad_hops=32,
+    max_hops=128,
+    pad_hops=64,
 )
 
 _RS = RS63(12)

@@ -37,14 +37,16 @@ class QarySpec:
     top_k: int = 32
     max_hops: int = 96
     pad_hops: int = 48
+    os_t: int = 8                # hops per symbol (time oversampling)
+    os_f: int = 4                # nfft / sps (freq oversampling; tone = os_f bins)
 
     @property
     def hop(self) -> int:
-        return self.sps // 4
+        return self.sps // self.os_t
 
     @property
     def nfft(self) -> int:
-        return 2 * self.sps
+        return self.os_f * self.sps
 
     @property
     def bin_hz(self) -> float:
@@ -65,7 +67,7 @@ def qary_decode_program(spec: QarySpec, shapes, audio, window,
     fmin_bin = int(spec.fmin_hz / spec.bin_hz)
     fmax_bin = int(spec.fmax_hz / spec.bin_hz)
     # headroom for the highest data tone
-    n_bins = fmax_bin - fmin_bin + 2 * (spec.tone_offset + spec.n_tones)
+    n_bins = fmax_bin - fmin_bin + spec.os_f * (spec.tone_offset + spec.n_tones)
 
     # two windows: tapered for sync, boxcar (matched) for symbol demod —
     # same rationale as gfsk_engine.decode_program
@@ -85,7 +87,7 @@ def qary_decode_program(spec: QarySpec, shapes, audio, window,
     n_f0 = fmax_bin - fmin_bin
     acc = jnp.zeros((b, n_t0, n_f0), jnp.float32)
     for s in spec.sync_syms:
-        h0 = 4 * s
+        h0 = spec.os_t * s
         acc = acc + jax.lax.slice(power_sync, (0, h0, 0), (b, h0 + n_t0, n_f0))
     base = jnp.mean(power_sync, axis=(1, 2), keepdims=True) * len(spec.sync_syms)
     score = acc / (base + 1e-30)
@@ -96,18 +98,18 @@ def qary_decode_program(spec: QarySpec, shapes, audio, window,
     f0 = top_idx % n_f0
 
     # data-symbol tone energies
-    sym_hops = t0[:, :, None] + 4 * data_syms[None, None, :]
+    sym_hops = t0[:, :, None] + spec.os_t * data_syms[None, None, :]
     tone_bins = (f0[:, :, None]
-                 + 2 * (spec.tone_offset
+                 + spec.os_f * (spec.tone_offset
                         + jnp.arange(spec.n_tones, dtype=jnp.int32))[None, None, :])
     bb = jnp.arange(b)[:, None, None, None]
     e = power[bb, sym_hops[:, :, :, None], tone_bins[:, :, None, :]]
-    # best and second-best tone per symbol + margin (confidence)
-    best = jnp.argmax(e, axis=-1).astype(jnp.int32)         # [B, K, n_data]
-    e_best = jnp.max(e, axis=-1)
-    e2 = jnp.max(jnp.where(
-        jax.nn.one_hot(best, spec.n_tones, dtype=jnp.bool_), -jnp.inf, e), axis=-1)
-    margin = jnp.log(e_best + 1e-30) - jnp.log(e2 + 1e-30)
+    # top-4 tone hypotheses per symbol (compact soft information for the
+    # host-side list decoder) + total energy for noise normalization
+    top_e, top_tone = jax.lax.top_k(e, 4)                   # [B, K, n_data, 4]
+    e_sum = jnp.sum(e, axis=-1)                             # [B, K, n_data]
+    margin = (jnp.log(top_e[..., 0] + 1e-30)
+              - jnp.log(top_e[..., 1] + 1e-30))
 
     noise = jnp.median(power_sync, axis=(1, 2))
     sig = top_val * base[:, :, 0] / len(spec.sync_syms)
@@ -115,8 +117,11 @@ def qary_decode_program(spec: QarySpec, shapes, audio, window,
         - 10.0 * np.float32(np.log10(2500.0 / spec.tone_spacing))
 
     return {
-        "symbols": best,          # [B, K, n_data] hard GF(64) values
+        "symbols": top_tone[..., 0].astype(jnp.int32),  # hard GF(64) values
         "margin": margin,         # [B, K, n_data] log-energy margins
+        "top_e": top_e,           # [B, K, n_data, 4] top tone energies
+        "top_tone": top_tone.astype(jnp.int32),
+        "e_sum": e_sum,           # [B, K, n_data] per-symbol total energy
         "score": top_val,
         "t0_hop": t0 - spec.pad_hops,
         "f0_bin": f0 + fmin_bin,
@@ -131,16 +136,24 @@ ERASURE_SCHEDULE = (0, 8, 16, 24, 32, 40)
 class QaryDecoder:
     """Host wrapper: device symbol demod + host RS errors-and-erasures.
 
-    Decoding tiers per candidate:
+    Decoding tiers per candidate (the native substitute for the soft
+    Koetter-Vardy / Franke-Taylor decoding inside jt9):
     1. deterministic progressive-erasure schedule (cheap);
     2. stochastic Chase: random erasure patterns biased toward
-       low-confidence symbols (the native substitute for the soft
-       Koetter-Vardy/FT decoding inside jt9) — applied to the best
-       ``chase_top`` sync candidates only.
+       low-confidence symbols, with deep erasure counts — applied to the
+       best ``chase_top`` sync candidates only.
+
+    Acceptance is a *soft* re-encode score, not hard-symbol agreement: the
+    re-encoded codeword's tone energies are summed over all n symbols
+    (normalized by the per-symbol mean energy).  Erased positions act as
+    independent verification — a wrong codeword scores ~0 there while a
+    true decode at threshold scores ~log(1+Es/N0) per symbol — so erasure
+    counts close to n-k stay safe (the FT-style deep-decode trick).
     """
 
     def __init__(self, spec: QarySpec, rs, mode, unpack, min_score: float = 1.5,
-                 chase_trials: int = 64, chase_top: int = 4):
+                 chase_trials: int = 150, chase_top: int = 4,
+                 soft_accept: float = 0.40, native_trials: int = 10_000):
         self.spec = spec
         self.rs = rs
         self.mode = mode
@@ -148,9 +161,35 @@ class QaryDecoder:
         self.min_score = min_score
         self.chase_trials = chase_trials
         self.chase_top = chase_top
+        self.soft_accept = soft_accept
+        self.native_trials = native_trials
         self._window = np.hanning(spec.sps).astype(np.float32)
         self._data_syms = np.asarray(spec.data_syms, np.int32)
         self._sync_syms = np.asarray(spec.sync_syms, np.int32)
+        # native FT trial loop (native/rs_ft.cpp); None -> pure-Python tiers
+        try:
+            from cwsl_digi_tpu import native as _native
+
+            _native.load()
+            self._native_ft = _native.rs_ft_decode
+        except Exception:
+            self._native_ft = None
+
+    def _soft_score(self, cw: np.ndarray, top_e: np.ndarray,
+                    top_tone: np.ndarray, e_sum: np.ndarray) -> float:
+        """Mean over symbols of log(E[cw tone] / mean symbol energy).
+
+        Noise gives ~-0.1; a true codeword at the decode threshold gives
+        >0.5.  Tones outside the stored top-4 get the mean residual energy.
+        """
+        n_tones = self.spec.n_tones
+        hit = top_tone == cw[:, None]                      # [n, 4]
+        e_top_sum = top_e.sum(axis=1)
+        floor = (e_sum - e_top_sum) / (n_tones - 4)
+        e_cw = np.where(hit.any(axis=1),
+                        (top_e * hit).sum(axis=1), floor)
+        mean_e = e_sum / n_tones
+        return float(np.mean(np.log((e_cw + 1e-30) / (mean_e + 1e-30))))
 
     def decode_arrays(self, audio: np.ndarray) -> dict[str, np.ndarray]:
         audio = np.asarray(audio, np.float32)
@@ -196,25 +235,43 @@ class QaryDecoder:
                     continue
                 syms = out["symbols"][wi, k].astype(np.int64)
                 margin = out["margin"][wi, k]
-                order = np.argsort(margin)      # least confident first
+                top_e = out["top_e"][wi, k]
+                top_tone = out["top_tone"][wi, k]
+                e_sum = out["e_sum"][wi, k]
+
+                def accept(info):
+                    if info is None:
+                        return None
+                    cw = self.rs.encode(info)
+                    s = self._soft_score(cw, top_e, top_tone, e_sum)
+                    return s if s >= self.soft_accept else None
+
                 info = None
-                for f in ERASURE_SCHEDULE:
-                    if f > self.rs.n_parity:
-                        break
-                    erasures = list(map(int, order[:f]))
-                    info = self.rs.decode(syms.copy(), erasures=erasures)
-                    if info is not None:
-                        break
-                if info is None and k < self.chase_top:
-                    info = self._chase(syms, margin, seed=wi * 1000 + k)
+                if self._native_ft is not None:
+                    # native FT loop runs the deterministic schedule + deep
+                    # stochastic trials in one call
+                    trials = (self.native_trials if k < self.chase_top
+                              else self.native_trials // 20)
+                    hit = self._native_ft(
+                        self.rs.k, syms, margin, top_e, top_tone, e_sum,
+                        spec.n_tones, trials, wi * 7919 + k + 1,
+                        self.soft_accept)
+                    if hit is not None:
+                        info = hit[0]
+                else:
+                    order = np.argsort(margin)      # least confident first
+                    for f in ERASURE_SCHEDULE:
+                        if f > self.rs.n_parity:
+                            break
+                        erasures = list(map(int, order[:f]))
+                        cand = self.rs.decode(syms.copy(), erasures=erasures)
+                        if accept(cand) is not None:
+                            info = cand
+                            break
+                    if info is None and k < self.chase_top:
+                        info = self._chase(syms, margin, accept,
+                                           seed=wi * 1000 + k)
                 if info is None:
-                    continue
-                # validate: re-encode, require strong agreement with the
-                # received hard symbols (RS can "decode" anything when
-                # erasure count approaches n-k)
-                cw = self.rs.encode(info)
-                agree = float(np.mean(cw == syms))
-                if agree < 0.55:
                     continue
                 text = self.unpack(np.asarray(info))
                 if text is None:
@@ -237,29 +294,35 @@ class QaryDecoder:
             results.append(sorted(seen.values(), key=lambda r: -r.score))
         return results
 
-    def _chase(self, syms: np.ndarray, margin: np.ndarray,
+    def _chase(self, syms: np.ndarray, margin: np.ndarray, accept,
                seed: int) -> np.ndarray | None:
-        """Stochastic erasure trials biased toward low-confidence symbols."""
+        """Stochastic erasure trials biased toward low-confidence symbols.
+
+        Deep-erasure tiers: patterns keep only ~n-f most-confident symbols
+        (down to k+2 kept), tolerating a couple of hard errors among the
+        kept set.  A candidate only survives the soft re-encode acceptance
+        in ``accept``, which the erased positions independently verify.
+        """
         rng = np.random.default_rng(seed)
         n = len(syms)
         # erasure probability decreasing with confidence rank
         rank = np.empty(n, np.int64)
         rank[np.argsort(margin)] = np.arange(n)
         p = 0.9 - 0.8 * rank / (n - 1)
-        f_target = min(self.rs.n_parity - 11, n - 1)
+        f_deep = min(self.rs.n_parity - 2, n - 1)
+        f_mid = min(self.rs.n_parity - 11, n - 1)
         best = None
-        for _ in range(self.chase_trials):
+        for t in range(self.chase_trials):
+            f_target = f_mid if t < self.chase_trials // 3 else f_deep
             mask = rng.random(n) < p
             idx = np.nonzero(mask)[0]
             if len(idx) > f_target:
                 # keep the lowest-confidence erasures
                 idx = idx[np.argsort(margin[idx])[:f_target]]
             info = self.rs.decode(syms.copy(), erasures=list(map(int, idx)))
-            if info is not None:
-                cw = self.rs.encode(info)
-                agree = float(np.mean(cw == syms))
-                if best is None or agree > best[1]:
-                    best = (info, agree)
-                if agree > 0.7:
+            s = accept(info)
+            if s is not None and (best is None or s > best[1]):
+                best = (info, s)
+                if s > 0.8:
                     break
         return best[0] if best else None

@@ -77,8 +77,46 @@ def load(build: bool = True) -> ctypes.CDLL:
     lib.pump_blocks.argtypes = [ctypes.c_void_p]
     lib.pump_dropped.restype = ctypes.c_uint64
     lib.pump_dropped.argtypes = [ctypes.c_void_p]
+    lib.rs_ft_decode.restype = ctypes.c_double
+    lib.rs_ft_decode.argtypes = [
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_uint64, ctypes.c_double, ctypes.c_double, ctypes.c_void_p,
+    ]
+    lib.rs_ee_decode.restype = ctypes.c_int
+    lib.rs_ee_decode.argtypes = [ctypes.c_int, ctypes.c_void_p,
+                                 ctypes.c_void_p, ctypes.c_int,
+                                 ctypes.c_void_p]
+    lib.rs_encode63.argtypes = [ctypes.c_int, ctypes.c_void_p,
+                                ctypes.c_void_p]
     _lib = lib
     return lib
+
+
+def rs_ft_decode(k: int, syms: np.ndarray, margin: np.ndarray,
+                 top_e: np.ndarray, top_tone: np.ndarray, e_sum: np.ndarray,
+                 n_tones: int, trials: int, seed: int,
+                 accept_thresh: float, early_exit: float = 0.8,
+                 ) -> tuple[np.ndarray, float] | None:
+    """Native Franke-Taylor stochastic RS(63,k) list decode.
+
+    Returns (info_symbols, soft_score) or None.  See native/rs_ft.cpp.
+    """
+    lib = load()
+    syms = np.ascontiguousarray(syms, np.int32)
+    margin = np.ascontiguousarray(margin, np.float32)
+    top_e = np.ascontiguousarray(top_e, np.float32)
+    top_tone = np.ascontiguousarray(top_tone, np.int32)
+    e_sum = np.ascontiguousarray(e_sum, np.float32)
+    out = np.zeros(k, np.int32)
+    score = lib.rs_ft_decode(
+        k, syms.ctypes.data, margin.ctypes.data, top_e.ctypes.data,
+        top_tone.ctypes.data, e_sum.ctypes.data, n_tones, trials,
+        seed & 0xFFFFFFFFFFFFFFFF, accept_thresh, early_exit,
+        out.ctypes.data)
+    if score <= -1e8:
+        return None
+    return out.astype(np.int64), float(score)
 
 
 class NativeRing:
