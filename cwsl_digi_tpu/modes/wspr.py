@@ -357,9 +357,30 @@ def _beam_decode(cfg: WSPRConfig, llr):
         all_metrics = jnp.concatenate([m0, m1], axis=1)
         all_live = jnp.concatenate([live, live], axis=1)
         all_metrics = jnp.where(all_live > 0, all_metrics, -jnp.float32(1e9))
-        top_m, top_i = jax.lax.top_k(all_metrics, w)
-        new_states = jnp.take_along_axis(all_states, top_i.astype(jnp.int32), axis=1)
-        new_live = jnp.take_along_axis(all_live, top_i.astype(jnp.int32), axis=1)
+
+        # State merging (M-algorithm / reduced-state Viterbi): future
+        # branch metrics depend only on the low 31 register bits (the
+        # oldest bit shifts out next step), so survivors equal there are
+        # duplicates — keep only the best.  Without this the beam fills
+        # with clones of locally-good paths and diversity collapses.
+        # Each mergeable key occurs at most twice in the 2W expansion, so
+        # one neighbor comparison after a sort suffices.
+        key = (all_states & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+        order = jnp.argsort(key, axis=1).astype(jnp.int32)
+        k_s = jnp.take_along_axis(key, order, axis=1)
+        m_s = jnp.take_along_axis(all_metrics, order, axis=1)
+        same_next = k_s[:, :-1] == k_s[:, 1:]
+        # drop the worse of an adjacent equal pair (ties: drop the later)
+        drop_lo = jnp.pad(same_next & (m_s[:, :-1] < m_s[:, 1:]),
+                          ((0, 0), (0, 1)))
+        drop_hi = jnp.pad(same_next & (m_s[:, 1:] <= m_s[:, :-1]),
+                          ((0, 0), (1, 0)))
+        m_s = jnp.where(drop_lo | drop_hi, -jnp.float32(1e9), m_s)
+
+        top_m, top_si = jax.lax.top_k(m_s, w)
+        top_i = jnp.take_along_axis(order, top_si.astype(jnp.int32), axis=1)
+        new_states = jnp.take_along_axis(all_states, top_i, axis=1)
+        new_live = jnp.take_along_axis(all_live, top_i, axis=1)
         # record back-pointers: parent index (mod W) and chosen bit
         parent = (top_i % w).astype(jnp.int32)
         bit = (top_i // w).astype(jnp.int8)
@@ -450,10 +471,11 @@ class WSPRDecoder:
             for k in range(self.cfg.top_k):
                 bits = out["bits"][wi, k]
                 # Validation gates (WSPR has no CRC; wsprd gates on sync +
-                # unpack sanity).  Thresholds calibrated so that real decodes
-                # down to ~-28 dB pass (metric>=0.81, agree>=0.90, score>=1.0
-                # measured) while beam-fitted noise peaks at 0.69/0.85/0.46.
-                if out["metric"][wi, k] < 0.75 or out["score"][wi, k] < 0.7:
+                # unpack sanity).  Calibrated on the merged-beam decoder:
+                # true decodes at -29 dB measure score>=0.35, metric>=0.84,
+                # agree>=0.92; beam-fitted noise peaks at score 0.19,
+                # metric 0.80, agree 0.90 (288 noise candidates).
+                if out["metric"][wi, k] < 0.80 or out["score"][wi, k] < 0.27:
                     continue
                 try:
                     call, grid, dbm = unpack_message(bits)
@@ -464,7 +486,7 @@ class WSPRDecoder:
                 llr = out["llr"][wi, k].reshape(162)
                 agree = np.sum(np.where(signs * llr > 0, np.abs(llr), 0.0)) \
                     / (np.sum(np.abs(llr)) + 1e-30)
-                if agree < 0.88:
+                if agree < 0.905:
                     continue
                 text = f"{call} {grid} {dbm}"
                 dt = out["t0_hop"][wi, k] * HOP / WAVE_SR - SIGNAL_START_S
@@ -481,5 +503,14 @@ class WSPRDecoder:
                 prev = seen.get(call)
                 if prev is None or r.score > prev.score:
                     seen[call] = r
-            results.append(sorted(seen.values(), key=lambda r: -r.score))
+            # frequency-proximity suppression: sync sidelobes of a strong
+            # burst can support a junk beam fit at a nearby (t0, f0); two
+            # real WSPR signals closer than ~4 Hz cannot both decode anyway
+            # (the 4-FSK occupies ~6 Hz), so keep only the best per cluster
+            accepted: list[DecodeResult] = []
+            for r in sorted(seen.values(), key=lambda r: -r.score):
+                if any(abs(r.freq_hz - a.freq_hz) < 4.0 for a in accepted):
+                    continue
+                accepted.append(r)
+            results.append(accepted)
         return results
