@@ -35,9 +35,11 @@ from cwsl_digi_tpu.modes.ldpc import BPDecoder, Code
 DEVICE_BYTES_BUDGET = 4_000_000_000
 
 
-def device_batch_for(n_hops: int, nfft: int, cap: int) -> int:
+def device_batch_for(n_hops: int, nfft: int, cap: int,
+                     cand_bytes: int = 0) -> int:
     """Windows per device call so the spectrogram working set fits HBM."""
-    per_window = n_hops * (nfft // 2 + 1) * 4 * 4  # 2x power f32 + rfft c64
+    # sync power f32 + complex demod stft c64 + rfft intermediate c64
+    per_window = n_hops * (nfft // 2 + 1) * (4 + 8 + 8) + cand_bytes
     return max(1, min(cap, DEVICE_BYTES_BUDGET // max(per_window, 1)))
 
 
@@ -69,6 +71,16 @@ class ModeSpec:
     depth: int = 2                # decode passes with signal subtraction
                                   # (reference decodedepth, config.ini:213)
     bt: float = 2.0               # GFSK Gaussian BT (for reconstruction)
+    # OSD fallback (deep decode, ≙ jt9 -d 3 behavior): J BP-failed
+    # candidates per window get an ordered-statistics pass; 0 disables
+    # (GFSKDecoder forces 0 when depth==1, ≙ jt9 -d 1 "fast").
+    osd_j: int = 16
+    osd_singles: int = 91         # flip-pattern budget (see modes/osd.py)
+    osd_tail2: int = 16
+    osd_tail3: int = 8
+    osd_nhard_max: int = 42       # acceptance gates (calibrated: see
+    osd_dist_frac: float = 0.12   # tools/osd_calibrate.py)
+    osd_post: bool = True         # order bits by BP posteriors (vs channel)
 
     @property
     def hop(self) -> int:
@@ -123,6 +135,109 @@ class ModeSpec:
         return out
 
 
+def _multisym_llrs(spec: ModeSpec, csym: jax.Array, rot: jax.Array,
+                   bitmaps: jax.Array) -> jax.Array:
+    """Coherent 1/2/3-symbol max-log LLRs.
+
+    csym: [M, n_sym, n_tones] complex symbol DFT values (boxcar, candidate
+    aligned); rot: [M] inter-symbol reference phase rotation; returns
+    [M, n_bits] LLRs, per-candidate normalized to std 3 (the BP operating
+    range the gates are calibrated for).
+
+    Per data symbol s the metric combines, with equal weight:
+      E1   = |C_s|^2 per tone
+      E2p  = max over allowed prev tones of |C_{s-1} + rot*C_s|^2
+      E2n  = max over allowed next tones of |C_s + rot*C_{s+1}|^2
+      E3   = max over allowed (prev, next) of the 3-symbol coherent sum
+    "Allowed" is the known sync tone when the neighbor is a sync cell, all
+    tones when it is data, and handled by zero padding at sequence edges.
+    Expanded via |a+b|^2 = |a|^2+|b|^2+2Re(conj(a)b) so only [T,T(,T)]
+    cross tensors are materialized, chunked over candidates to bound HBM.
+    """
+    m_all, n_sym, n_tones = csym.shape
+    data = np.asarray(spec.data_syms, np.int64)
+    n_data = len(data)
+    big = jnp.float32(1e30)
+
+    # static neighbor-tone masks (True = allowed)
+    known = np.full(n_sym, -1, np.int64)
+    for s, t in spec.sync_cells:
+        known[s] = t
+
+    def neighbor_allowed(idx: np.ndarray) -> np.ndarray:
+        out = np.ones((n_data, n_tones), bool)
+        for di, s in enumerate(idx):
+            if 0 <= s < n_sym and known[s] >= 0:
+                out[di] = False
+                out[di, known[s]] = True
+        return out
+
+    allow_prev = jnp.asarray(neighbor_allowed(data - 1))
+    allow_next = jnp.asarray(neighbor_allowed(data + 1))
+    bit0 = bitmaps < 0.5                          # [bits_per_sym, n_tones]
+
+    # chunk size: bound the 3-symbol cross tensor to ~64 MB
+    tri_bytes = n_data * n_tones ** 3 * 4
+    chunk = int(max(1, min(m_all, 64_000_000 // max(tri_bytes, 1))))
+
+    def one_chunk(args):
+        c, r = args                               # [m, S, T] c64, [m] c64
+        cpad = jnp.pad(c, ((0, 0), (1, 1), (0, 0)))
+        cs = c[:, data]                           # [m, D, T]
+        cprev = cpad[:, data]                     # real index s-1
+        cnext = cpad[:, data + 2]                 # real index s+1
+        r_ = r[:, None, None, None]
+        e1s = jnp.abs(cs) ** 2
+        e1p = jnp.abs(cprev) ** 2
+        e1n = jnp.abs(cnext) ** 2
+        # cross terms, [m, D, T, T]
+        x_ps = 2.0 * jnp.real(jnp.conj(cprev)[:, :, :, None]
+                              * (r_ * cs[:, :, None, :]))
+        x_sn = 2.0 * jnp.real(jnp.conj(cs)[:, :, :, None]
+                              * (r_ * cnext[:, :, None, :]))
+        x_pn = 2.0 * jnp.real(jnp.conj(cprev)[:, :, :, None]
+                              * (r_ * r_ * cnext[:, :, None, :]))
+        # pair metrics marginalized over the (masked) neighbor
+        gp = jnp.where(allow_prev[None, :, :, None],
+                       e1p[:, :, :, None] + x_ps, -big)
+        e2p = e1s + jnp.max(gp, axis=2)           # [m, D, T]
+        gn = jnp.where(allow_next[None, :, None, :],
+                       e1n[:, :, None, :] + x_sn, -big)
+        e2n = e1s + jnp.max(gn, axis=3)
+        # triple metric, [m, D, Tprev, Tself, Tnext] -> max over prev/next
+        tri = (e1p[:, :, :, None, None] + e1s[:, :, None, :, None]
+               + e1n[:, :, None, None, :]
+               + x_ps[:, :, :, :, None] + x_sn[:, :, None, :, :]
+               + x_pn[:, :, :, None, :])
+        tri = jnp.where(allow_prev[None, :, :, None, None], tri, -big)
+        tri = jnp.where(allow_next[None, :, None, None, :], tri, -big)
+        e3 = jnp.max(tri, axis=(2, 4))            # [m, D, T]
+
+        def bit_llrs(f):                          # f: [m, D, T] -> [m, D, nb]
+            f_ = f[:, :, None, :]
+            b0 = jnp.max(jnp.where(bit0[None, None], f_, -big), axis=-1)
+            b1 = jnp.max(jnp.where(~bit0[None, None], f_, -big), axis=-1)
+            return b0 - b1
+
+        l = bit_llrs(e1s) + bit_llrs(e2p) + bit_llrs(e2n) + bit_llrs(e3)
+        return l.reshape(l.shape[0], -1)          # [m, n_bits]
+
+    pad = (-m_all) % chunk
+    if pad:
+        csym = jnp.concatenate(
+            [csym, jnp.zeros((pad, n_sym, n_tones), csym.dtype)])
+        rot = jnp.concatenate([rot, jnp.ones((pad,), rot.dtype)])
+    n_chunks = csym.shape[0] // chunk
+    llr = jax.lax.map(
+        one_chunk,
+        (csym.reshape(n_chunks, chunk, n_sym, n_tones),
+         rot.reshape(n_chunks, chunk)),
+    ).reshape(n_chunks * chunk, -1)[:m_all]
+    # per-candidate scale normalization (energies are scale-dependent)
+    std = jnp.std(llr, axis=-1, keepdims=True)
+    return llr / (std + 1e-20) * 3.0
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 6))
 def decode_program(
     spec: ModeSpec,
@@ -152,16 +267,20 @@ def decode_program(
     # the tone-energy demod — the matched filter for constant-tone symbols.
     # The window mismatch is worth ~1.5 dB of sensitivity at the decode
     # threshold (measured: 92% -> 100% recall at -18 dB for FT8).
+    # The boxcar spectrogram is kept COMPLEX: the demod stage combines
+    # adjacent symbols coherently (GFSK phase continuity), which needs the
+    # cross terms, not just the energies.
     idx = jnp.arange(n_hops)[:, None] * hop + jnp.arange(sps)[None, :]
     frames = audio[:, idx]
 
-    def spectrogram(w):
-        p = jnp.abs(jnp.fft.rfft(frames * w[None, None, :], n=nfft, axis=-1)) ** 2
-        p = p[:, :, fmin_bin : fmin_bin + n_bins]
-        return jnp.pad(p, ((0, 0), (spec.pad_hops, spec.pad_hops), (0, 0)))
+    def spectrogram(w, keep_complex=False):
+        x = jnp.fft.rfft(frames * w[None, None, :], n=nfft, axis=-1)
+        x = x[:, :, fmin_bin : fmin_bin + n_bins]
+        x = jnp.pad(x, ((0, 0), (spec.pad_hops, spec.pad_hops), (0, 0)))
+        return x if keep_complex else jnp.abs(x) ** 2
 
     power_sync = spectrogram(window)
-    power = spectrogram(jnp.ones((sps,), jnp.float32))   # demod (matched)
+    stft = spectrogram(jnp.ones((sps,), jnp.float32), keep_complex=True)
 
     # --- 2. sync correlation ----------------------------------------------
     n_t0 = spec.max_hops
@@ -201,18 +320,25 @@ def decode_program(
     t0 = top_idx // n_f0
     f0 = top_idx % n_f0
 
-    # --- 4. tone energies + LLRs ------------------------------------------
-    sym_hops = t0[:, :, None] + spec.os_t * data_syms[None, None, :]
+    # --- 4. coherent multi-symbol demod -> LLRs -----------------------------
+    # GFSK phase is continuous across symbols, and for every mode here the
+    # tone spacing equals the baud rate, so the reference waveform's
+    # inter-symbol DFT phase is tone-independent: theta0 = 2*pi*bin/os_f.
+    # Combining 2- and 3-symbol coherent metrics with the single-symbol
+    # energies is worth ~1.5 dB at the decode threshold (the jt9 decoder's
+    # nsym=1/2/3 metrics); sync-adjacent data symbols additionally
+    # constrain the neighbor tone to the known sync tone.
+    sym_hops = t0[:, :, None] + spec.os_t * jnp.arange(spec.n_sym, dtype=jnp.int32)[None, None, :]
     tone_bins = f0[:, :, None] + spec.os_f * jnp.arange(spec.n_tones, dtype=jnp.int32)[None, None, :]
     bb = jnp.arange(b)[:, None, None, None]
-    e = power[bb, sym_hops[:, :, :, None], tone_bins[:, :, None, :]]
-    le = jnp.log(e + 1e-30)                      # [B, K, n_data, n_tones]
-    big = jnp.float32(1e30)
-    le_exp = le[:, :, :, None, :]
-    bm = bitmaps[None, None, None, :, :]
-    max0 = jnp.max(jnp.where(bm < 0.5, le_exp, -big), axis=-1)
-    max1 = jnp.max(jnp.where(bm > 0.5, le_exp, -big), axis=-1)
-    llr = (max0 - max1).reshape(b, spec.top_k, spec.n_bits)
+    csym = stft[bb, sym_hops[:, :, :, None], tone_bins[:, :, None, :]]
+    # [B, K, n_sym, n_tones] complex64
+    abs_bin = (f0 + fmin_bin).astype(jnp.float32)
+    rot = jnp.exp(-2j * jnp.pi * abs_bin / spec.os_f)            # [B, K]
+    llr = _multisym_llrs(
+        spec, csym.reshape(b * spec.top_k, spec.n_sym, spec.n_tones),
+        rot.reshape(-1), bitmaps,
+    ).reshape(b, spec.top_k, spec.n_bits)
 
     # --- 4b. a-priori hypotheses ------------------------------------------
     # The reference forwards AP flags to jt9 (source/DecoderPool.hpp:466-469);
@@ -232,9 +358,10 @@ def decode_program(
 
     # --- 5. LDPC + CRC ----------------------------------------------------
     n_code = bp.code.n
-    hard, parity_ok = bp.decode(llr.reshape(b * k_eff, n_code))
+    hard, parity_ok, post_llr = bp.decode_full(llr.reshape(b * k_eff, n_code))
     hard = hard.reshape(b, k_eff, n_code)
     parity_ok = parity_ok.reshape(b, k_eff)
+    post_llr = post_llr.reshape(b, k_eff, n_code)
     n_payload, n_crc = crc_mat.shape
     payload = hard[:, :, :n_payload].astype(jnp.float32)
     crc_calc = jnp.mod(jnp.einsum("bkp,pc->bkc", payload, crc_mat,
@@ -249,6 +376,54 @@ def decode_program(
     has_signal = jnp.sum(jnp.abs(llr), axis=-1) > 1e-3
     nonzero_payload = jnp.any(payload > 0.5, axis=-1)
     valid = parity_ok & crc_ok & has_signal & nonzero_payload
+
+    # --- 5b. OSD fallback (deep decode) -------------------------------------
+    # The reference's depth-3 decode gets its last ~1-1.5 dB from an
+    # ordered-statistics pass when BP fails (see modes/osd.py). Run it on
+    # the osd_j strongest sync candidates that BP could not validate.
+    if spec.osd_j > 0:
+        from cwsl_digi_tpu.modes.osd import flip_patterns, osd_decode
+
+        j = min(spec.osd_j, k_eff)
+        prio = jnp.where(valid, -jnp.inf, top_val)
+        _, sel = jax.lax.top_k(prio, j)                       # [b, j]
+        bidx = jnp.arange(b)[:, None]
+        # BP posterior LLRs: reliability ordering sharpened by the checks
+        # that did converge (BP-OSD); metric weights stay the channel LLRs.
+        sel_post = post_llr[bidx, sel]                        # [b, j, n]
+        sel_chan = llr.reshape(b, k_eff, n_code)[bidx, sel]
+        gen = np.concatenate(
+            [np.eye(bp.code.k, dtype=np.uint8), bp.code.gen_parity], axis=1)
+        pats = flip_patterns(bp.code.k, spec.osd_singles,
+                             spec.osd_tail2, spec.osd_tail3).astype(np.float32)
+        osd_in = sel_post if spec.osd_post else sel_chan
+        osd_cw, osd_dist, osd_nhard = osd_decode(
+            gen, osd_in.reshape(b * j, n_code), pats)
+        osd_cw = osd_cw.reshape(b, j, n_code)
+        osd_dist = osd_dist.reshape(b, j)
+        osd_nhard = osd_nhard.reshape(b, j)
+        # acceptance gates (CRC + plausibility; calibrated on noise windows)
+        osd_payload = osd_cw[:, :, :n_payload].astype(jnp.float32)
+        osd_crc = jnp.mod(jnp.einsum("bkp,pc->bkc", osd_payload, crc_mat,
+                                     preferred_element_type=jnp.float32), 2.0)
+        osd_crc_ok = jnp.all(
+            jnp.abs(osd_crc - osd_cw[:, :, n_payload:n_payload + n_crc]) < 0.5,
+            axis=-1)
+        wsum = jnp.sum(jnp.abs(sel_chan), axis=-1)
+        osd_ok = (
+            osd_crc_ok
+            & (osd_nhard <= spec.osd_nhard_max)
+            & (osd_dist <= spec.osd_dist_frac * wsum)
+            & jnp.any(osd_payload > 0.5, axis=-1)
+            & (jnp.sum(jnp.abs(sel_chan), axis=-1) > 1e-3)
+        )
+        # merge: only previously-invalid slots were selected (valid slots
+        # had -inf priority) — still, never overwrite a valid slot
+        was_valid = valid[bidx, sel]
+        osd_ok = osd_ok & ~was_valid
+        new_hard = jnp.where(osd_ok[:, :, None], osd_cw, hard[bidx, sel])
+        hard = hard.at[bidx, sel].set(new_hard)
+        valid = valid.at[bidx, sel].set(was_valid | osd_ok)
 
     # --- SNR estimate ------------------------------------------------------
     # mean sync-cell power = signal + average cell noise; subtract the noise
@@ -283,6 +458,9 @@ class GFSKDecoder:
     def __init__(self, spec: ModeSpec, bp: BPDecoder, crc_matrix: np.ndarray,
                  mode, unpack,
                  ap_hypotheses: np.ndarray | None = None) -> None:
+        if spec.depth <= 1 and spec.osd_j:
+            # depth 1 ≙ jt9 -d 1 "fast": BP only, no OSD pass
+            spec = dataclasses.replace(spec, osd_j=0)
         self.spec = spec
         self.bp = bp
         self.mode = mode
@@ -303,18 +481,19 @@ class GFSKDecoder:
             vals[:, : hyp.shape[1]] = np.maximum(hyp, 0).astype(np.float32)
             self._ap_mask = mask
             self._ap_vals = vals
-        # sanity: candidate grid must fit in the padded spectrogram
+        # sanity: candidate grid must fit in the padded spectrogram (the
+        # coherent demod gathers every symbol 0..n_sym-1 per candidate)
         n_samples = int(round(spec.trperiod * WAVE_SR))
         n_hops = (n_samples - spec.sps) // spec.hop + 1 + 2 * spec.pad_hops
-        max_h = spec.max_hops + spec.os_t * max(
-            max(s for s, _ in spec.sync_cells), max(spec.data_syms)
-        )
+        max_h = spec.max_hops + spec.os_t * (spec.n_sym - 1)
         assert max_h <= n_hops, (
             f"{spec.name}: sync search grid ({max_h}) exceeds spectrogram "
             f"hops ({n_hops}); reduce max_hops/pad_hops"
         )
+        # per-window candidate working set: csym gather + cross tensors
+        cand_bytes = spec.top_k * spec.n_sym * spec.n_tones * 8 * 3
         self.max_device_batch = device_batch_for(
-            n_hops, spec.nfft, self.MAX_DEVICE_BATCH)
+            n_hops, spec.nfft, self.MAX_DEVICE_BATCH, cand_bytes)
 
     # Windows per device call: bounds spectrogram memory (a 15 s FT8 window
     # at the fine grid costs ~15 MB of device scratch per window, so a

@@ -220,12 +220,21 @@ class BPDecoder:
         self._col_mask = t.col_mask
         self._h = code.h.astype(np.float32)
 
-    @functools.partial(jax.jit, static_argnums=(0,))
     def decode(self, llrs: jax.Array) -> tuple[jax.Array, jax.Array]:
         """llrs: [batch, n] (positive = bit 0 more likely).
 
         Returns (hard_bits [batch, n] int8, parity_ok [batch] bool).
         """
+        hard, ok, _ = self.decode_full(llrs)
+        return hard, ok
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def decode_full(
+        self, llrs: jax.Array
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """Like :meth:`decode` but also returns the posterior LLR totals
+        ``[batch, n]`` (channel LLR + all incoming check messages) — the
+        soft input the OSD fallback pass reorders bits by."""
         b = llrs.shape[0]
         n, nc, mr = self.t.n, self.t.n_checks, self.t.max_row
         row_cols = jnp.asarray(self._row_cols)
@@ -284,7 +293,7 @@ class BPDecoder:
                     preferred_element_type=jnp.float32), 2.0
         )
         ok = jnp.all(syn < 0.5, axis=1)
-        return hard, ok
+        return hard, ok, totals[:, :n]
 
 
 # ---------------------------------------------------------------------------
