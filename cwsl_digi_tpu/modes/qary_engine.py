@@ -39,6 +39,8 @@ class QarySpec:
     pad_hops: int = 48
     os_t: int = 8                # hops per symbol (time oversampling)
     os_f: int = 4                # nfft / sps (freq oversampling; tone = os_f bins)
+    full_e: bool = False         # also return full per-tone energies (for
+                                 # the q-ary message-passing decode path)
 
     @property
     def hop(self) -> int:
@@ -116,7 +118,7 @@ def qary_decode_program(spec: QarySpec, shapes, audio, window,
     snr = 10.0 * jnp.log10((sig + 1e-30) / (noise[:, None] + 1e-30)) \
         - 10.0 * np.float32(np.log10(2500.0 / spec.tone_spacing))
 
-    return {
+    out = {
         "symbols": top_tone[..., 0].astype(jnp.int32),  # hard GF(64) values
         "margin": margin,         # [B, K, n_data] log-energy margins
         "top_e": top_e,           # [B, K, n_data, 4] top tone energies
@@ -127,6 +129,9 @@ def qary_decode_program(spec: QarySpec, shapes, audio, window,
         "f0_bin": f0 + fmin_bin,
         "snr": snr,
     }
+    if spec.full_e:
+        out["e"] = e              # [B, K, n_data, n_tones]
+    return out
 
 
 # progressive erasure schedule: erase the f least-confident symbols
@@ -153,9 +158,11 @@ class QaryDecoder:
 
     def __init__(self, spec: QarySpec, rs, mode, unpack, min_score: float = 1.5,
                  chase_trials: int = 150, chase_top: int = 4,
-                 soft_accept: float = 0.40, native_trials: int = 10_000):
+                 soft_accept: float = 0.40, native_trials: int = 10_000,
+                 mp=None):
         self.spec = spec
         self.rs = rs
+        self.mp = mp                  # QaryMPDecoder (q-ary sum-product path)
         self.mode = mode
         self.unpack = unpack          # (info_symbols) -> text or None
         self.min_score = min_score
@@ -226,6 +233,8 @@ class QaryDecoder:
         if audio.ndim == 1:
             audio = audio[None, :]
         out = self.decode_arrays(audio)
+        if self.mp is not None:
+            return self._decode_mp(out)
         spec = self.spec
         results = []
         for wi in range(audio.shape[0]):
@@ -287,6 +296,66 @@ class QaryDecoder:
                     score=float(out["score"][wi, k]),
                     mode=self.mode,
                     payload_bits=np.asarray(info, np.uint8),
+                )
+                prev = seen.get(key)
+                if prev is None or r.score > prev.score:
+                    seen[key] = r
+            results.append(sorted(seen.values(), key=lambda r: -r.score))
+        return results
+
+    def _decode_mp(self, out: dict) -> list:
+        """Q-ary sum-product decode path (Q65): full per-tone energies ->
+        symbol likelihoods -> batched GF(64) message passing on device.
+
+        Acceptance = zero syndrome + the soft re-encode score (erasure-free
+        variant of ``_soft_score`` computed on the full energy table).
+        """
+        from cwsl_digi_tpu.modes.base import DecodeResult
+
+        spec = self.spec
+        e = out["e"]                                   # [B, K, n_data, T]
+        bsz, top_k, n_data, n_tones = e.shape
+        # noncoherent channel likelihoods: noise energy per bin is
+        # exponential with mean N0; median(e)/ln2 estimates N0 robustly
+        med = np.median(e, axis=(2, 3), keepdims=True)
+        n0 = np.maximum(med / np.log(2.0), 1e-30)
+        x = e / n0
+        x = x - x.max(axis=-1, keepdims=True)
+        p = np.exp(np.maximum(x, -40.0))
+        p /= p.sum(axis=-1, keepdims=True)
+        hard, ok, _conf = self.mp.decode(
+            p.reshape(bsz * top_k, n_data, n_tones).astype(np.float32))
+        hard = np.asarray(hard).reshape(bsz, top_k, n_data)
+        ok = np.asarray(ok).reshape(bsz, top_k)
+
+        results = []
+        for wi in range(bsz):
+            seen: dict[bytes, DecodeResult] = {}
+            for k in range(top_k):
+                if not ok[wi, k] or out["score"][wi, k] < self.min_score:
+                    continue
+                cw = hard[wi, k]
+                ew = e[wi, k]
+                e_cw = ew[np.arange(n_data), cw]
+                mean_e = ew.mean(axis=-1)
+                s = float(np.mean(np.log((e_cw + 1e-30) / (mean_e + 1e-30))))
+                if s < self.soft_accept:
+                    continue
+                text = self.unpack(cw[: self.mp.code.k])
+                if text is None:
+                    continue
+                key = bytes(cw[: self.mp.code.k].astype(np.uint8))
+                dt = (out["t0_hop"][wi, k] * spec.hop / WAVE_SR
+                      - spec.signal_start_s)
+                freq = out["f0_bin"][wi, k] * spec.bin_hz
+                r = DecodeResult(
+                    message=text,
+                    snr_db=round(float(out["snr"][wi, k]), 1),
+                    dt_s=round(float(dt), 2),
+                    freq_hz=round(float(freq), 1),
+                    score=float(out["score"][wi, k]),
+                    mode=self.mode,
+                    payload_bits=cw[: self.mp.code.k].astype(np.uint8),
                 )
                 prev = seen.get(key)
                 if prev is None or r.score > prev.score:

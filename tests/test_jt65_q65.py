@@ -86,3 +86,44 @@ def test_q65_noise_rejection():
     rng = np.random.default_rng(4)
     noise = rng.standard_normal(int(q65.T_R * 12000)).astype(np.float32)
     assert dec.decode(noise)[0] == []
+
+
+def test_qra_code_encode_syndrome_roundtrip():
+    from cwsl_digi_tpu.modes.qra import build_qra_code
+
+    code = build_qra_code(63, 13)
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        cw = code.encode(rng.integers(0, 64, 13))
+        assert code.syndrome_ok(cw)
+        bad = cw.copy()
+        bad[int(rng.integers(0, 63))] ^= int(rng.integers(1, 64))
+        assert not code.syndrome_ok(bad)
+
+
+def test_qra_mp_decodes_noisy_symbols():
+    """GF(64) sum-product corrects a noncoherent 64-FSK channel at an
+    Es/N0 where hard decisions carry many symbol errors."""
+    from cwsl_digi_tpu.modes.qra import QaryMPDecoder, build_qra_code
+
+    code = build_qra_code(63, 13)
+    dec = QaryMPDecoder(code, iters=33)
+    rng = np.random.default_rng(11)
+    esn0 = 10 ** (7.0 / 10)
+    infos, words = [], []
+    for _ in range(6):
+        info = rng.integers(0, 64, 13)
+        cw = code.encode(info)
+        e = rng.exponential(1.0, (63, 64))
+        ph = rng.uniform(0, 2 * np.pi, 63)
+        zr = np.sqrt(esn0) * np.cos(ph) + rng.normal(0, np.sqrt(0.5), 63)
+        zi = np.sqrt(esn0) * np.sin(ph) + rng.normal(0, np.sqrt(0.5), 63)
+        e[np.arange(63), cw] = zr ** 2 + zi ** 2
+        p = np.exp(e - e.max(1, keepdims=True))
+        infos.append(info)
+        words.append((p / p.sum(1, keepdims=True)).astype(np.float32))
+    hard, ok, _ = dec.decode(np.stack(words))
+    hard, ok = np.asarray(hard), np.asarray(ok)
+    good = sum(1 for t in range(6)
+               if ok[t] and (hard[t][:13] == infos[t]).all())
+    assert good >= 5
