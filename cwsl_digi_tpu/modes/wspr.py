@@ -117,6 +117,48 @@ def conv_encode(bits: np.ndarray) -> np.ndarray:
     return np.asarray(out, np.uint8)
 
 
+@functools.lru_cache(maxsize=None)
+def _code_matrices() -> tuple[np.ndarray, np.ndarray]:
+    """(G [50,162], R [162,50]) over GF(2) with G @ R = I.
+
+    The conv encoder (zero tail) is linear, so the transmitted 162 coded
+    bits form a (162, 50) linear block code: G rows = encodings of unit
+    messages, in coded-bit (pre-interleave) order — the order the decode
+    program's deinterleaved LLRs use.  R is a right-inverse recovering the
+    message from any codeword (``bits = cw @ R mod 2``), built from the row
+    ops of a GF(2) elimination.  This is what makes ``wsprd -o`` style
+    ordered-statistics decoding (source/DecoderPool.hpp:1023-1026 spawns
+    ``wsprd ... -o 5``) applicable to the sequential code.
+    """
+    eye = np.eye(N_MSG_BITS, dtype=np.uint8)
+    G = np.stack([conv_encode(eye[i]) for i in range(N_MSG_BITS)])
+    A = G.copy()
+    E = np.eye(N_MSG_BITS, dtype=np.uint8)
+    r = 0
+    pivots = []
+    for c in range(A.shape[1]):
+        nz = np.nonzero(A[r:, c])[0]
+        if len(nz) == 0:
+            continue
+        p = r + nz[0]
+        A[[r, p]] = A[[p, r]]
+        E[[r, p]] = E[[p, r]]
+        for i in np.nonzero(A[:, c])[0]:
+            if i != r:
+                A[i] ^= A[r]
+                E[i] ^= E[r]
+        pivots.append(c)
+        r += 1
+        if r == N_MSG_BITS:
+            break
+    assert r == N_MSG_BITS, "generator matrix not full rank"
+    # G[:, pivots] = E^-1, so R[pivots, :] = E gives G @ R = I
+    R = np.zeros((NSYM, N_MSG_BITS), np.uint8)
+    R[np.asarray(pivots)] = E
+    assert np.array_equal(G.dot(R) % 2, np.eye(N_MSG_BITS, dtype=np.uint8))
+    return G, R
+
+
 # ---------------------------------------------------------------------------
 # Message packing (callsign + grid + power, 50 bits) — the call/grid charsets
 # are the protocol tables shared with the FT8 codec (message77.py)
@@ -216,6 +258,12 @@ class WSPRConfig:
     # linear drift hypotheses over the burst, Hz end-to-end (wsprd searches
     # +-4 Hz; source invocation DecoderPool.hpp:1023-1026)
     drifts_hz: tuple[float, ...] = (-4.0, -2.0, 0.0, 2.0, 4.0)
+    # OSD fallback over the (162, 50) block code (wsprd's -o flag analogue;
+    # spawn site source/DecoderPool.hpp:1023-1026); 0 disables
+    osd_j: int = 8              # strongest sync candidates to try
+    osd_singles: int = 50
+    osd_tail2: int = 26
+    osd_tail3: int = 14
 
 
 def _drift_offsets(cfg: WSPRConfig) -> np.ndarray:
@@ -242,17 +290,21 @@ def _decode_program(cfg: WSPRConfig, shapes, audio, sync, deinter, window):
     n_bins = fmax_bin - fmin_bin + 8
 
     # two windows: tapered for the sync search, boxcar (matched filter for
-    # constant tones) for the data demod — see gfsk_engine.decode_program
+    # constant tones) for the data demod — see gfsk_engine.decode_program.
+    # The boxcar spectrogram stays COMPLEX: the demod combines adjacent
+    # symbols coherently (GFSK phase continuity), which needs cross terms.
     idx = jnp.arange(n_hops)[:, None] * HOP + jnp.arange(SPS)[None, :]
     frames = audio[:, idx]
 
-    def spectrogram(w):
-        pw = jnp.abs(jnp.fft.rfft(frames * w[None, None, :], n=NFFT, axis=-1)) ** 2
-        pw = pw[:, :, fmin_bin : fmin_bin + n_bins]
-        return jnp.pad(pw, ((0, 0), (PAD_HOPS, PAD_HOPS), (0, 0)))
+    def spectrogram(w, keep_complex=False):
+        x = jnp.fft.rfft(frames * w[None, None, :], n=NFFT, axis=-1)
+        x = x[:, :, fmin_bin : fmin_bin + n_bins]
+        x = jnp.pad(x, ((0, 0), (PAD_HOPS, PAD_HOPS), (0, 0)))
+        return x if keep_complex else jnp.abs(x) ** 2
 
     power_sync = spectrogram(window)
-    power = spectrogram(jnp.ones((SPS,), jnp.float32))
+    stft = spectrogram(jnp.ones((SPS,), jnp.float32), keep_complex=True)
+    power = jnp.abs(stft) ** 2
 
     # sync-contrast map: m[h, f] = P(tone1)+P(tone3) - P(tone0)-P(tone2)
     n_f0 = fmax_bin - fmin_bin
@@ -293,16 +345,52 @@ def _decode_program(cfg: WSPRConfig, shapes, audio, sync, deinter, window):
     f0 = rem % n_f0p + max_off                   # back to mmap bin coords
 
     # per-symbol data LLRs: bit=0 -> tone sync_i, bit=1 -> tone sync_i+2;
-    # bins follow the candidate's drift trajectory
+    # bins follow the candidate's drift trajectory.  Coherent 1/2/3-symbol
+    # demod (the gfsk_engine._multisym_llrs scheme, specialized): every WSPR
+    # symbol has a KNOWN sync chip in the tone LSB, so each neighbor
+    # hypothesis cube is only 2 wide (data bit), and tone spacing = baud
+    # makes the inter-symbol reference rotation tone-independent:
+    # rot = exp(-2j*pi*abs_bin*SPS/NFFT).
     offs_j = jnp.asarray(offs)                   # [D, NSYM]
     cand_off = offs_j[d_idx]                     # [B, K, NSYM]
     sym_hops = t0[:, :, None] + 4 * jnp.arange(NSYM, dtype=jnp.int32)[None, None, :]
-    bin0 = f0[:, :, None] + 2 * sync[None, None, :] + cand_off
-    bin1 = bin0 + 4                                           # tone sync_i + 2
-    bb = jnp.arange(b)[:, None, None]
-    e0 = power[bb, sym_hops, bin0]
-    e1 = power[bb, sym_hops, bin1]
-    llr_sym = jnp.log(e0 + 1e-30) - jnp.log(e1 + 1e-30)      # [B, K, 162]
+    # allowed tone per (symbol, data bit): sync_i + 2*bit -> bin 2*tone
+    tone_bins = (2 * sync[None, None, :, None]
+                 + 4 * jnp.arange(2, dtype=jnp.int32)[None, None, None, :])
+    bins = f0[:, :, None, None] + cand_off[:, :, :, None] + tone_bins
+    bb = jnp.arange(b)[:, None, None, None]
+    cbit = stft[bb, sym_hops[:, :, :, None], bins]            # [B,K,162,2] c64
+    abs_bin = (f0 + fmin_bin).astype(jnp.float32)
+    rot = jnp.exp(-2j * jnp.pi * abs_bin * (SPS / NFFT))      # [B, K]
+    r_ = rot[:, :, None, None, None]
+
+    cpad = jnp.pad(cbit, ((0, 0), (0, 0), (1, 1), (0, 0)))
+    cprev = cpad[:, :, :NSYM]                                 # symbol s-1
+    cnext = cpad[:, :, 2:]                                    # symbol s+1
+    e1 = jnp.abs(cbit) ** 2                                   # [B,K,162,2]
+    e1p = jnp.abs(cprev) ** 2
+    e1n = jnp.abs(cnext) ** 2
+    # cross terms [B,K,162,i,j]: i = neighbor bit, j = self bit
+    x_ps = 2.0 * jnp.real(jnp.conj(cprev)[..., :, None]
+                          * (r_ * cbit[..., None, :]))
+    x_sn = 2.0 * jnp.real(jnp.conj(cbit)[..., :, None]
+                          * (r_ * cnext[..., None, :])).swapaxes(-1, -2)
+    # pair metrics, max-marginalized over the neighbor's data bit
+    e2p = e1 + jnp.max(e1p[..., :, None] + x_ps, axis=-2)
+    e2n = e1 + jnp.max(e1n[..., :, None] + x_sn, axis=-2)
+    # triple metric [B,K,162,p,j,n] -> max over (prev, next) bits
+    x_pn = 2.0 * jnp.real(jnp.conj(cprev)[..., :, None]
+                          * (r_ * r_ * cnext[..., None, :]))
+    tri = (e1p[..., :, None, None] + e1[..., None, :, None]
+           + e1n[..., None, None, :]
+           + x_ps[..., :, :, None]
+           + x_sn.swapaxes(-1, -2)[..., None, :, :]
+           + x_pn[..., :, None, :])
+    e3 = jnp.max(tri, axis=(-3, -1))                          # [B,K,162,2]
+    metric_sym = e1 + e2p + e2n + e3
+    llr_sym = metric_sym[..., 0] - metric_sym[..., 1]         # [B, K, 162]
+    # per-candidate scale normalization (energies are scale-dependent)
+    llr_sym = llr_sym / (jnp.std(llr_sym, axis=-1, keepdims=True) + 1e-20) * 3.0
     llr = jnp.take(llr_sym, deinter, axis=2)                 # coded-bit order
     # interleaved pairs: coded bit 2t, 2t+1 for trellis step t
     llr = llr.reshape(b * cfg.top_k, 81, 2)
@@ -310,6 +398,30 @@ def _decode_program(cfg: WSPRConfig, shapes, audio, sync, deinter, window):
     bits, metric = _beam_decode(cfg, llr)
     bits = bits.reshape(b, cfg.top_k, N_MSG_BITS)
     metric = metric.reshape(b, cfg.top_k)
+
+    # OSD fallback (wsprd -o analogue): reliability-ordered re-encoding over
+    # the (162, 50) block code on the strongest sync candidates.  top_k
+    # output is sorted by score, so the first osd_j slots are the strongest.
+    osd = {}
+    if cfg.osd_j > 0:
+        from cwsl_digi_tpu.modes.osd import flip_patterns, osd_decode
+
+        G, R = _code_matrices()
+        j = min(cfg.osd_j, cfg.top_k)
+        pats = flip_patterns(N_MSG_BITS, cfg.osd_singles,
+                             cfg.osd_tail2, cfg.osd_tail3).astype(np.float32)
+        llr_j = llr.reshape(b, cfg.top_k, NSYM)[:, :j]
+        cw, dist, nhard = osd_decode(
+            jnp.asarray(G), llr_j.reshape(b * j, NSYM), jnp.asarray(pats))
+        osd_bits = jnp.mod(
+            jnp.dot(cw.astype(jnp.float32), R.astype(np.float32),
+                    preferred_element_type=jnp.float32), 2.0)
+        osd = {
+            "osd_bits": osd_bits.reshape(b, j, N_MSG_BITS).astype(jnp.uint8),
+            "osd_dist": dist.reshape(b, j),
+            "osd_nhard": nhard.reshape(b, j),
+            "osd_wsum": jnp.sum(jnp.abs(llr_j), axis=-1),
+        }
 
     noise = jnp.median(power_sync, axis=(1, 2))
     sig = jnp.abs(top_val) * base[:, :, 0] / NSYM
@@ -325,6 +437,7 @@ def _decode_program(cfg: WSPRConfig, shapes, audio, sync, deinter, window):
         "f0_bin": f0 + fmin_bin,
         "drift_idx": d_idx,       # index into cfg.drifts_hz
         "snr": snr,
+        **osd,
     }
 
 
@@ -466,28 +579,46 @@ class WSPRDecoder:
             audio = audio[None, :]
         out = self.decode_arrays(audio)
         results = []
+        n_osd = out["osd_bits"].shape[1] if "osd_bits" in out else 0
+
+        def accept(score: float, llr: np.ndarray, coded: np.ndarray) -> bool:
+            # Validation gates (WSPR has no CRC; wsprd gates on sync +
+            # unpack sanity).  Two-tier boundary, calibrated on the
+            # coherent-demod decoder (tools/wspr_calibrate.py; 3k+ noise
+            # candidates): noise never exceeds sync score 0.21, so a strong
+            # sync peak needs only plausible agreement; below that, noise
+            # beam/OSD fits reach agree 0.91 / nhard 28, so a weak-sync
+            # candidate must agree nearly perfectly with the received LLRs.
+            # True decodes at -31 dB: score med 0.26, agree med 0.93.
+            x = (1.0 - 2.0 * coded.astype(np.float32)) * llr
+            agree = float(np.sum(np.where(x > 0, np.abs(llr), 0.0))
+                          / (np.sum(np.abs(llr)) + 1e-30))
+            nhard = int(np.sum(x < 0))
+            tier1 = score >= 0.23 and agree >= 0.88 and nhard <= 36
+            tier2 = score >= 0.16 and agree >= 0.925 and nhard <= 30
+            return tier1 or tier2
+
         for wi in range(audio.shape[0]):
             seen: dict[str, DecodeResult] = {}
             for k in range(self.cfg.top_k):
-                bits = out["bits"][wi, k]
-                # Validation gates (WSPR has no CRC; wsprd gates on sync +
-                # unpack sanity).  Calibrated on the merged-beam decoder:
-                # true decodes at -29 dB measure score>=0.35, metric>=0.84,
-                # agree>=0.92; beam-fitted noise peaks at score 0.19,
-                # metric 0.80, agree 0.90 (288 noise candidates).
-                if out["metric"][wi, k] < 0.80 or out["score"][wi, k] < 0.27:
-                    continue
-                try:
-                    call, grid, dbm = unpack_message(bits)
-                except ValueError:
-                    continue
-                coded = conv_encode(bits)
-                signs = 1.0 - 2.0 * coded.astype(np.float32)
+                cand_bits = [out["bits"][wi, k]]
+                if k < n_osd:
+                    # OSD fallback bits (wsprd -o analogue)
+                    cand_bits.append(out["osd_bits"][wi, k])
+                score = float(out["score"][wi, k])
                 llr = out["llr"][wi, k].reshape(162)
-                agree = np.sum(np.where(signs * llr > 0, np.abs(llr), 0.0)) \
-                    / (np.sum(np.abs(llr)) + 1e-30)
-                if agree < 0.905:
+                r = None
+                for bits in cand_bits:
+                    try:
+                        call, grid, dbm = unpack_message(bits)
+                    except ValueError:
+                        continue
+                    if accept(score, llr, conv_encode(bits)):
+                        r = (bits, call, grid, dbm)
+                        break
+                if r is None:
                     continue
+                bits, call, grid, dbm = r
                 text = f"{call} {grid} {dbm}"
                 dt = out["t0_hop"][wi, k] * HOP / WAVE_SR - SIGNAL_START_S
                 r = DecodeResult(

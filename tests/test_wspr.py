@@ -83,3 +83,29 @@ def test_noise_rejection(decoder):
     rng = np.random.default_rng(3)
     noise = rng.standard_normal(int(wspr.T_R * 12000)).astype(np.float32)
     assert decoder.decode(noise)[0] == []
+
+
+def test_code_matrices_right_inverse():
+    G, R = wspr._code_matrices()
+    assert G.shape == (50, 162) and R.shape == (162, 50)
+    np.testing.assert_array_equal(G.dot(R) % 2, np.eye(50, dtype=np.uint8))
+    # any codeword maps back to its message
+    rng = np.random.default_rng(5)
+    msg = rng.integers(0, 2, 50).astype(np.uint8)
+    cw = msg.dot(G) % 2
+    np.testing.assert_array_equal(cw.dot(R) % 2, msg)
+    np.testing.assert_array_equal(wspr.conv_encode(msg), cw)
+
+
+def test_osd_fallback_recovers_true_bits(decoder):
+    """The OSD pass (wsprd -o analogue) recovers the message bits even when
+    handed only the channel LLRs of a noisy candidate."""
+    rng = np.random.default_rng(11)
+    clean = wspr.synthesize("K1ABC", "FN42", 30, f0_hz=1512.3)
+    audio = add_noise_at_snr(clean, -22.0, 12000, rng)
+    out = decoder.decode_arrays(audio)
+    true_bits = wspr.pack_message("K1ABC", "FN42", 30)
+    n_osd = out["osd_bits"].shape[1]
+    assert n_osd > 0
+    assert any(np.array_equal(out["osd_bits"][0, k], true_bits)
+               for k in range(n_osd))

@@ -32,7 +32,7 @@ def sweep(mode: str, snrs, trials: int, depth=None, rng=None):
     # synthesize per-mode reference messages
     if mode == "WSPR":
         from cwsl_digi_tpu.modes import wspr as m
-        clean = m.synthesize("K1ABC", "FN42", 30, 1500.0)
+        clean = m.synthesize("K1ABC", "FN42", 30, 1512.34)
         want = "K1ABC FN42 30"
         def fmt(r): return f"{r.message}"
     elif mode == "JT65":
