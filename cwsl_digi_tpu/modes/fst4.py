@@ -99,6 +99,14 @@ def make_spec(mode: Mode) -> ModeSpec:
     # keep the candidate grid small for very long symbols
     max_hops = 64 if period <= 120 else 32
     pad_hops = 32 if period <= 120 else 16
+    # The slow modes decode rarely (one window per 1-30 min), so they can
+    # afford a much finer search than FT8: 8x time / 4x freq oversampling
+    # halves the worst-case sub-bin frequency error (+-1/8 tone spacing),
+    # which is what limits the coherent multi-symbol combining for these
+    # long symbols (inter-symbol phase error ~ 2*pi*df*T_sym).  900/1800 s
+    # keep the coarse grid — their bins are already <0.1 Hz and the frames
+    # get enormous.
+    fine = period <= 300
     return ModeSpec(
         name=str(mode.value),
         n_sym=NSYM,
@@ -112,10 +120,13 @@ def make_spec(mode: Mode) -> ModeSpec:
         signal_start_s=1.0,
         fmin_hz=fmin,
         fmax_hz=fmax,
-        top_k=32,
-        bp_iters=35,
+        top_k=48 if fine else 32,
+        bp_iters=60,
         max_hops=max_hops,
         pad_hops=pad_hops,
+        os_t=8 if fine else 4,
+        os_f=4 if fine else 2,
+        osd_j=24,
         bt=1.0,
     )
 
