@@ -224,7 +224,12 @@ class QaryDecoder:
 
         n_hops = ((n_samples - self.spec.sps) // self.spec.hop + 1
                   + 2 * self.spec.pad_hops)
-        return device_batch_for(n_hops, self.spec.nfft, 64)
+        # The qary nfft (os_f * sps, e.g. 14400) is not a power of two, so
+        # the TPU lowers its rfft via Bluestein with ~4-5x padded temps
+        # (measured: 4.47G unpadded -> 19.07G padded HLO temp on v5e).
+        # Budget for that inflation or the program OOMs HBM.
+        batch = device_batch_for(n_hops, self.spec.nfft, 64)
+        return max(1, batch // 5)
 
     def decode(self, audio: np.ndarray):
         from cwsl_digi_tpu.modes.base import DecodeResult
@@ -303,12 +308,23 @@ class QaryDecoder:
             results.append(sorted(seen.values(), key=lambda r: -r.score))
         return results
 
+    # prior variants for the MP retry ladder: (temperature, n_erase).
+    # γ<1 flattens the likelihoods (robust to N0 overestimate), γ>1
+    # sharpens them; n_erase>0 additionally replaces the least-confident
+    # symbols' priors with uniform (a Chase-style erasure retry that lets
+    # the code's redundancy fill unreliable positions instead of being
+    # misled by them).
+    MP_VARIANTS = ((1.0, 0), (0.7, 0), (1.35, 0), (1.0, 8), (0.7, 14))
+
     def _decode_mp(self, out: dict) -> list:
         """Q-ary sum-product decode path (Q65): full per-tone energies ->
         symbol likelihoods -> batched GF(64) message passing on device.
 
-        Acceptance = zero syndrome + the soft re-encode score (erasure-free
-        variant of ``_soft_score`` computed on the full energy table).
+        Each sync candidate is decoded under ``MP_VARIANTS`` prior
+        variants in ONE batched device call; the first converging variant
+        (in ladder order) wins.  Acceptance = zero syndrome + the soft
+        re-encode score (erasure-free variant of ``_soft_score`` computed
+        on the full energy table).
         """
         from cwsl_digi_tpu.modes.base import DecodeResult
 
@@ -321,25 +337,50 @@ class QaryDecoder:
         n0 = np.maximum(med / np.log(2.0), 1e-30)
         x = e / n0
         x = x - x.max(axis=-1, keepdims=True)
-        p = np.exp(np.maximum(x, -40.0))
-        p /= p.sum(axis=-1, keepdims=True)
+        x = np.maximum(x, -40.0)
+        # per-symbol confidence for the erasure variants
+        xs = np.sort(x, axis=-1)
+        sym_margin = xs[..., -1] - xs[..., -2]         # [B, K, n_data]
+        erase_order = np.argsort(sym_margin, axis=-1)  # least confident first
+
+        variants = []
+        for gamma, n_erase in self.MP_VARIANTS:
+            p = np.exp(gamma * x)
+            p /= p.sum(axis=-1, keepdims=True)
+            if n_erase:
+                idx = erase_order[..., :n_erase]       # [B, K, n_erase]
+                bb = np.arange(bsz)[:, None, None]
+                kk = np.arange(top_k)[None, :, None]
+                p[bb, kk, idx] = 1.0 / n_tones
+            variants.append(p)
+        n_var = len(variants)
+        pv = np.stack(variants, axis=2)                # [B, K, V, n_data, T]
         hard, ok, _conf = self.mp.decode(
-            p.reshape(bsz * top_k, n_data, n_tones).astype(np.float32))
-        hard = np.asarray(hard).reshape(bsz, top_k, n_data)
-        ok = np.asarray(ok).reshape(bsz, top_k)
+            pv.reshape(bsz * top_k * n_var, n_data, n_tones).astype(np.float32))
+        hard = np.asarray(hard).reshape(bsz, top_k, n_var, n_data)
+        ok = np.asarray(ok).reshape(bsz, top_k, n_var)
 
         results = []
         for wi in range(bsz):
             seen: dict[bytes, DecodeResult] = {}
             for k in range(top_k):
-                if not ok[wi, k] or out["score"][wi, k] < self.min_score:
+                if out["score"][wi, k] < self.min_score:
                     continue
-                cw = hard[wi, k]
                 ew = e[wi, k]
-                e_cw = ew[np.arange(n_data), cw]
                 mean_e = ew.mean(axis=-1)
-                s = float(np.mean(np.log((e_cw + 1e-30) / (mean_e + 1e-30))))
-                if s < self.soft_accept:
+                cw = None
+                s = -np.inf
+                for v in range(n_var):
+                    if not ok[wi, k, v]:
+                        continue
+                    cw_v = hard[wi, k, v]
+                    e_cw = ew[np.arange(n_data), cw_v]
+                    s_v = float(np.mean(
+                        np.log((e_cw + 1e-30) / (mean_e + 1e-30))))
+                    if s_v >= self.soft_accept:
+                        cw, s = cw_v, s_v
+                        break
+                if cw is None:
                     continue
                 text = self.unpack(cw[: self.mp.code.k])
                 if text is None:
