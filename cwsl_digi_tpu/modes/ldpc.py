@@ -7,13 +7,19 @@ The reference gets these decoders from the external jt9 binary
 
 Code construction
 -----------------
+``ft8_code`` is the **published WSJT-X LDPC(174,91)** code, built from the
+real parity table in modes/tables.py and cross-checked against the
+published generator matrix — frames are bit-exact with jt9's, so the
+decoder interoperates with real on-air FT8/FT4 transmissions.
+
 ``make_ldpc_code`` builds a deterministic pseudo-random column-weight-3
-parity-check matrix with the exact (n, k) of the protocol code and
-rearranges columns so a systematic encoder exists.  This yields a code with
-the same rate/length/degree profile (and hence the same waterfall region)
-as the published WSJT-X code; to interoperate on-air with WSJT-X, drop the
-published parity-check table into ``Code.from_parity_matrix`` — every other
-part of the pipeline is table-driven and unchanged.
+parity-check matrix with the exact (n, k) of a protocol code and
+rearranges columns so a systematic encoder exists.  It is the documented
+stand-in used for codes whose published tables are not yet embedded
+(currently FST4's LDPC(240,101) and JS8's LDPC(174,87)): same
+rate/length/degree profile, hence the same waterfall region, but not
+on-air compatible until the published table is dropped into
+``Code.from_parity_matrix``.
 
 Decoder
 -------
@@ -302,8 +308,20 @@ class BPDecoder:
 
 @functools.lru_cache(maxsize=None)
 def ft8_code() -> Code:
-    """LDPC(174,91): 77 payload + 14 CRC info bits, 83 checks (FT8 & FT4)."""
-    return make_ldpc_code(174, 91, seed=174)
+    """The published WSJT-X LDPC(174,91) code (FT8 & FT4): 77 payload + 14
+    CRC info bits, 83 checks.  Built from the real parity table
+    (modes/tables.py, lib/ft8/ldpc_174_91_c_parity.f90) so encoded frames
+    and decoded codewords are bit-exact with jt9's — the capability the
+    reference gets by spawning jt9 (source/DecoderPool.hpp:634-676)."""
+    from cwsl_digi_tpu.modes import tables
+
+    code = Code.from_parity_matrix(tables.ft8_parity_matrix())
+    # Cross-check against the independently published generator hex rows.
+    head = tables.generator_hex_rows(code.gen_parity)[: len(tables.FT8_GENERATOR_HEX_HEAD)]
+    assert tuple(head) == tables.FT8_GENERATOR_HEX_HEAD, (
+        "derived generator disagrees with published ldpc_174_91_c_generator"
+    )
+    return code
 
 
 @functools.lru_cache(maxsize=None)
