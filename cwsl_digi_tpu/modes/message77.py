@@ -33,6 +33,8 @@ import dataclasses
 
 import numpy as np
 
+from cwsl_digi_tpu.modes import tables
+
 NTOKENS = 2_063_592
 MAX22 = 4_194_304
 MAXGRID4 = 32_400
@@ -66,25 +68,28 @@ def int_from_bits(bits) -> int:
     return v
 
 
-def _hash_raw(call: str) -> int:
-    h = 5381
-    for ch in call:
-        h = (h * 33 + ord(ch)) & 0xFFFFFFFF
-    return (h * 2654435761) & 0xFFFFFFFF
-
-
 def hash22(call: str) -> int:
-    """22-bit hash (session-local table)."""
-    h22 = (_hash_raw(call) >> 10) & (MAX22 - 1)
-    _HASH_TABLE[h22] = call
+    """WSJT-X 22-bit callsign hash (packjt77.f90 ihashcall, m=22).
+
+    Matches on-air <CALL> hash references from real WSJT-X stations
+    (the interop contract behind OutputHandler.cpp:788-799).
+    """
+    h22 = tables.ihashcall(call.strip(), 22)
+    _HASH_TABLE[h22] = call.strip().upper()
     return h22
 
 
 def hash12(call: str) -> int:
-    """12-bit hash for type-4 message 'other call' references."""
-    h12 = (_hash_raw(call) >> 20) & 0xFFF
-    _HASH12_TABLE[h12] = call
+    """WSJT-X 12-bit hash (ihashcall m=12) for type-4 'other call' refs."""
+    h12 = tables.ihashcall(call.strip(), 12)
+    _HASH12_TABLE[h12] = call.strip().upper()
     return h12
+
+
+def hash10(call: str) -> int:
+    """WSJT-X 10-bit hash (ihashcall m=10), used by 0.5 telemetry-adjacent
+    and Q65/i3=5 formats."""
+    return tables.ihashcall(call.strip(), 10)
 
 
 def register_call(call: str) -> None:

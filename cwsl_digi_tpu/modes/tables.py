@@ -131,6 +131,43 @@ FT8_GENERATOR_HEX_HEAD: tuple[str, ...] = (
 )
 
 
+# --- WSPR 162-chip sync vector --------------------------------------------
+# The published WSPR synchronization sequence (wsprd.c ``pr3``; also in
+# G4JNT "The WSPR Coding Process" and WSJT-X lib/wsprcode).  Transmitted as
+# the LSB of each 4-FSK tone: tone = sync + 2*data.  162 chips, 63 ones.
+WSPR_SYNC: tuple[int, ...] = (
+    1,1,0,0,0,0,0,0,1,0,0,0,1,1,1,0,0,0,1,0,
+    0,1,0,1,1,1,1,0,0,0,0,0,0,0,1,0,0,1,0,1,
+    0,0,0,0,0,0,1,0,1,1,0,0,1,1,0,1,0,0,0,1,
+    1,0,1,0,0,0,0,1,1,0,1,0,1,0,1,0,1,0,0,1,
+    0,0,1,0,1,1,0,0,0,1,1,0,1,0,1,0,0,0,1,0,
+    0,0,0,0,1,0,0,1,0,0,1,1,1,0,1,1,0,0,1,1,
+    0,1,0,0,0,1,1,1,0,0,0,0,0,1,0,1,0,0,1,1,
+    0,0,0,0,0,0,0,1,1,0,1,0,1,1,0,0,0,1,1,0,
+    0,0,
+)
+
+# --- WSJT-X callsign hash (lib/77bit/packjt77.f90 ihashcall) ---------------
+# Alphabet index is base-38 over 11 chars; hash is the top m bits of the
+# 64-bit product with the published multiplier 47055833459.
+HASH_ALPHABET = " 0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ/"
+HASH_MULTIPLIER = 47055833459
+
+
+def ihashcall(call: str, m: int) -> int:
+    """WSJT-X ihashcall: top ``m`` bits of (47055833459 * base38(call)) mod 2^64.
+
+    ``call`` is left-justified, blank-padded/truncated to 11 chars; chars not
+    in the alphabet map to 0 (blank), matching Fortran index()-1 semantics.
+    """
+    c = call.upper().ljust(11)[:11]
+    n = 0
+    for ch in c:
+        idx = HASH_ALPHABET.find(ch)
+        n = 38 * n + (idx if idx >= 0 else 0)
+    return ((HASH_MULTIPLIER * n) & 0xFFFFFFFFFFFFFFFF) >> (64 - m)
+
+
 @functools.lru_cache(maxsize=None)
 def ft8_parity_matrix() -> np.ndarray:
     """The published 83x174 FT8/FT4 parity-check matrix (dtype uint8)."""

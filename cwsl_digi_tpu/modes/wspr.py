@@ -30,9 +30,9 @@ TPU-first decoder:
   5. validation by re-encoding the winning path and checking weighted
      agreement with the received LLRs (WSPR has no CRC).
 
-Interop note: the sync vector here is a deterministic pseudo-random chip
-sequence with the documented length/balance; drop in the published vector
-for on-air interop — everything else is table-driven.
+The 162-chip sync vector is the published WSPR sequence (wsprd.c ``pr3``,
+``tables.WSPR_SYNC``), so sync acquisition is protocol-exact for on-air
+signals.
 """
 
 from __future__ import annotations
@@ -69,16 +69,10 @@ FMIN_HZ, FMAX_HZ = 1400.0, 1600.0
 PAD_HOPS = 32
 
 
-def _make_sync_vector(n: int = NSYM, seed: int = 0x5753) -> np.ndarray:
-    """Deterministic balanced pseudo-random sync chips (see interop note)."""
-    rng = np.random.default_rng(seed)
-    v = np.zeros(n, np.int32)
-    ones = rng.permutation(n)[: n // 2]
-    v[ones] = 1
-    return v
+from cwsl_digi_tpu.modes.tables import WSPR_SYNC  # noqa: E402
 
-
-SYNC = _make_sync_vector()
+SYNC = np.asarray(WSPR_SYNC, np.int32)
+assert SYNC.shape == (NSYM,)
 
 
 def interleave_map(n: int = NSYM) -> np.ndarray:

@@ -65,3 +65,30 @@ def test_crc14_is_linear_and_poly_0x2757():
     crc = ft8_crc(e0)
     got = int("".join(map(str, crc.tolist())), 2)
     assert got == val
+
+
+def test_wspr_sync_vector_published():
+    v = np.asarray(tables.WSPR_SYNC)
+    assert v.shape == (162,)
+    assert int(v.sum()) == 63  # the published sequence has 63 ones
+    # pin head/tail of the published wsprd.c pr3 sequence
+    assert v[:10].tolist() == [1, 1, 0, 0, 0, 0, 0, 0, 1, 0]
+    assert v[-10:].tolist() == [1, 1, 0, 0, 0, 1, 1, 0, 0, 0]
+
+
+def test_ihashcall_structure():
+    # WSJT-X derives hash12/hash10 as the top bits of the same product, so
+    # hash_m(call) == hash22(call) >> (22 - m) for every call — a structural
+    # invariant of ihashcall that any reimplementation must satisfy.
+    for call in ["PJ4/K1ABC", "YW18FIFA", "KH1/KH7Z", "W9XYZ", "G4ABC/P"]:
+        h22 = tables.ihashcall(call, 22)
+        assert tables.ihashcall(call, 12) == h22 >> 10
+        assert tables.ihashcall(call, 10) == h22 >> 12
+        assert 0 <= h22 < 2**22
+
+
+def test_ihashcall_base38_sensitivity():
+    # blank-padded to 11 chars; trailing blanks map to digit 0, so calls
+    # differing only in trailing blanks hash identically
+    assert tables.ihashcall("K1ABC", 22) == tables.ihashcall("K1ABC  ", 22)
+    assert tables.ihashcall("K1ABC", 22) != tables.ihashcall("K1ABD", 22)
