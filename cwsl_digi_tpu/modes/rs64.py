@@ -79,23 +79,29 @@ def _poly_eval(p: list[int], x: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def _generator_poly(n_parity: int) -> tuple[int, ...]:
-    """g(x) = prod_{i=1..n_parity} (x - alpha^i), highest-order first."""
+def _generator_poly(n_parity: int, fcr: int) -> tuple[int, ...]:
+    """g(x) = prod_{i=fcr..fcr+n_parity-1} (x - alpha^i), highest first."""
     exp, _ = _tables()
     g = [1]
-    for i in range(1, n_parity + 1):
-        g = _poly_mul(g, [1, int(exp[i])])
+    for i in range(fcr, fcr + n_parity):
+        g = _poly_mul(g, [1, int(exp[i % N])])
     return tuple(g)
 
 
 class RS63:
-    """Systematic RS(63, k) over GF(64); codeword = [info | parity]."""
+    """Systematic RS(63, k) over GF(64); codeword = [info | parity].
 
-    def __init__(self, k: int):
+    ``fcr`` is the first consecutive generator root.  JT65 uses the Karn
+    codec parameters init_rs_int(6, 0x43, fcr=3, prim=1, nroots=51) — the
+    contract of the jt9 chain the reference spawns (DecoderPool.hpp:648).
+    """
+
+    def __init__(self, k: int, fcr: int = 1):
         assert 1 <= k < N
         self.k = k
+        self.fcr = fcr
         self.n_parity = N - k
-        self.g = list(_generator_poly(self.n_parity))
+        self.g = list(_generator_poly(self.n_parity, fcr))
 
     def encode(self, info: np.ndarray) -> np.ndarray:
         info = np.asarray(info, dtype=np.int64)
@@ -113,7 +119,7 @@ class RS63:
     # -- decoding -----------------------------------------------------------
 
     def syndromes(self, word: np.ndarray) -> list[int]:
-        """S_i = c(alpha^i), i=1..n_parity — vectorized via log/exp tables."""
+        """S_j = c(alpha^(fcr+j)), j=0..n_parity-1 — via log/exp tables."""
         exp, log = _tables()
         word = np.asarray(word, np.int64)
         nz = word != 0
@@ -121,7 +127,7 @@ class RS63:
             return [0] * self.n_parity
         logs = log[word[nz]]                       # [m]
         degs = (N - 1) - np.nonzero(nz)[0]         # x-power of each coeff
-        i = np.arange(1, self.n_parity + 1)[:, None]
+        i = np.arange(self.fcr, self.fcr + self.n_parity)[:, None]
         terms = exp[(logs[None, :] + i * degs[None, :]) % N]
         return list(np.bitwise_xor.reduce(terms, axis=1))
 
@@ -174,9 +180,11 @@ class RS63:
                 den ^= gmul(c, gpow(xinv, 2 * j))
             if den == 0:
                 return None
-            # Forney with b0=1 syndromes (S_i = c(alpha^i), i>=1):
-            # e = omega(X^-1) / Lambda'(X^-1)
+            # Forney generalized to first root fcr:
+            # e = X^(1-fcr) * omega(X^-1) / Lambda'(X^-1)
             mag = gdiv(num, den)
+            if self.fcr != 1:
+                mag = gmul(mag, gpow(x, 1 - self.fcr))
             word[pos] ^= mag
         if max(self.syndromes(word)) != 0:
             return None

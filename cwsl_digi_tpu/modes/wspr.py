@@ -157,29 +157,22 @@ def _code_matrices() -> tuple[np.ndarray, np.ndarray]:
 # Message packing (callsign + grid + power, 50 bits) — the call/grid charsets
 # are the protocol tables shared with the FT8 codec (message77.py)
 # ---------------------------------------------------------------------------
-from cwsl_digi_tpu.modes.message77 import _C1, _C2, _C3, _C4  # noqa: E402
+from cwsl_digi_tpu.modes import legacy72  # noqa: E402
 
 
 def pack_message(callsign: str, grid: str, dbm: int) -> np.ndarray:
-    call = callsign.strip().upper()
-    if len(call) >= 3 and not call[2].isdigit():
-        if call[1].isdigit():
-            call = " " + call
-        else:
-            raise ValueError(f"cannot pack WSPR callsign {callsign!r}")
-    call = call.ljust(6)
-    n = _C1.index(call[0])
-    n = n * 36 + _C2.index(call[1])
-    n = n * 10 + _C3.index(call[2])
-    n = n * 27 + _C4.index(call[3])
-    n = n * 27 + _C4.index(call[4])
-    n = n * 27 + _C4.index(call[5])
-    g = grid.strip().upper()
-    if len(g) != 4 or not (g[0].isalpha() and g[1].isalpha()
-                           and g[2].isdigit() and g[3].isdigit()):
+    """Type-1 WSPR payload: [packcall:28][grid15:15][pwr+64:7].
+
+    Bit-exact per G4JNT "The WSPR Coding Process": N1 = packcall,
+    M1 = (179-10*lonA-lonD)*180 + 10*latA + latD, N2 = M1*128 + pwr + 64.
+    """
+    n = legacy72.packcall(callsign)
+    if n is None or n >= legacy72.NBASE:
+        raise ValueError(f"cannot pack WSPR callsign {callsign!r}")
+    m = legacy72.packgrid15(grid)
+    if m is None:
         raise ValueError(f"bad grid {grid!r}")
-    m = ((ord(g[0]) - 65) * 18 + (ord(g[1]) - 65)) * 100 + int(g[2:])
-    p = max(0, min(60, int(dbm)))
+    p = max(0, min(60, int(dbm))) + 64
     bits = (
         [(n >> (27 - i)) & 1 for i in range(28)]
         + [(m >> (14 - i)) & 1 for i in range(15)]
@@ -193,30 +186,22 @@ def unpack_message(bits: np.ndarray) -> tuple[str, str, int]:
     n = 0
     for b in bits[:28]:
         n = (n << 1) | int(b)
-    c6 = _C4[n % 27]; n //= 27
-    c5 = _C4[n % 27]; n //= 27
-    c4 = _C4[n % 27]; n //= 27
-    c3 = _C3[n % 10]; n //= 10
-    c2 = _C2[n % 36]; n //= 36
-    if n >= len(_C1):
+    call = legacy72.unpackcall(n)
+    if call is None or n >= legacy72.NBASE:
         raise ValueError("invalid callsign field")
-    c1 = _C1[n]
-    call = (c1 + c2 + c3 + c4 + c5 + c6).strip()
     m = 0
     for b in bits[28:43]:
         m = (m << 1) | int(b)
-    if m >= 32400:
+    grid = legacy72.unpackgrid15(m)
+    if grid is None:
         raise ValueError("invalid grid field")
-    d = m % 100
-    ab = m // 100
-    a, bb = divmod(ab, 18)
-    grid = chr(65 + a) + chr(65 + bb) + f"{d:02d}"
     p = 0
     for b in bits[43:50]:
         p = (p << 1) | int(b)
-    if p > 60:
-        raise ValueError("invalid power field")
-    return call, grid, p
+    ntype = p - 64
+    if not 0 <= ntype <= 60:
+        raise ValueError("invalid power field (non-type-1 message)")
+    return call, grid, ntype
 
 
 def encode(callsign: str, grid: str, dbm: int) -> np.ndarray:

@@ -82,13 +82,14 @@ def load(build: bool = True) -> ctypes.CDLL:
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         ctypes.c_uint64, ctypes.c_double, ctypes.c_double, ctypes.c_void_p,
+        ctypes.c_int,
     ]
     lib.rs_ee_decode.restype = ctypes.c_int
     lib.rs_ee_decode.argtypes = [ctypes.c_int, ctypes.c_void_p,
                                  ctypes.c_void_p, ctypes.c_int,
-                                 ctypes.c_void_p]
+                                 ctypes.c_void_p, ctypes.c_int]
     lib.rs_encode63.argtypes = [ctypes.c_int, ctypes.c_void_p,
-                                ctypes.c_void_p]
+                                ctypes.c_void_p, ctypes.c_int]
     _lib = lib
     return lib
 
@@ -97,7 +98,7 @@ def rs_ft_decode(k: int, syms: np.ndarray, margin: np.ndarray,
                  top_e: np.ndarray, top_tone: np.ndarray, e_sum: np.ndarray,
                  n_tones: int, trials: int, seed: int,
                  accept_thresh: float, early_exit: float = 0.8,
-                 ) -> tuple[np.ndarray, float] | None:
+                 fcr: int = 1) -> tuple[np.ndarray, float] | None:
     """Native Franke-Taylor stochastic RS(63,k) list decode.
 
     Returns (info_symbols, soft_score) or None.  See native/rs_ft.cpp.
@@ -113,7 +114,7 @@ def rs_ft_decode(k: int, syms: np.ndarray, margin: np.ndarray,
         k, syms.ctypes.data, margin.ctypes.data, top_e.ctypes.data,
         top_tone.ctypes.data, e_sum.ctypes.data, n_tones, trials,
         seed & 0xFFFFFFFFFFFFFFFF, accept_thresh, early_exit,
-        out.ctypes.data)
+        out.ctypes.data, fcr)
     if score <= -1e8:
         return None
     return out.astype(np.int64), float(score)

@@ -66,11 +66,12 @@ struct GF64 {
 
 const GF64 gf;
 
-// generator polynomial with roots alpha^1..alpha^n_parity,
-// lowest-order-first coefficients g[0..n_parity], monic
-std::vector<int> generator_poly(int n_parity) {
+// generator polynomial with roots alpha^fcr..alpha^(fcr+n_parity-1),
+// lowest-order-first coefficients g[0..n_parity], monic.  JT65 uses the
+// Karn codec parameters fcr=3 (init_rs_int(6,0x43,3,1,51)).
+std::vector<int> generator_poly(int n_parity, int fcr) {
     std::vector<int> g{1};
-    for (int i = 1; i <= n_parity; ++i) {
+    for (int i = fcr; i <= fcr + n_parity - 1; ++i) {
         std::vector<int> ng(g.size() + 1, 0);
         int ai = gf.exp[i % N];
         for (size_t j = 0; j < g.size(); ++j) {
@@ -84,9 +85,12 @@ std::vector<int> generator_poly(int n_parity) {
 
 struct RS {
     int k;
+    int fcr;
     int n_parity;
     std::vector<int> g;  // lowest-first
-    explicit RS(int k_) : k(k_), n_parity(N - k_), g(generator_poly(N - k_)) {}
+    explicit RS(int k_, int fcr_ = 1)
+        : k(k_), fcr(fcr_), n_parity(N - k_),
+          g(generator_poly(N - k_, fcr_)) {}
 
     void encode(const int32_t* info, int32_t* word) const {
         std::vector<int> rem(n_parity, 0);
@@ -100,16 +104,16 @@ struct RS {
         for (int j = 0; j < n_parity; ++j) word[k + j] = rem[j];
     }
 
-    // returns true if any syndrome nonzero
+    // returns true if any syndrome nonzero; S_j = c(alpha^(fcr+j))
     bool syndromes(const int32_t* word, int* synd) const {
         bool nz = false;
-        for (int i = 1; i <= n_parity; ++i) {
+        for (int i = fcr; i <= fcr + n_parity - 1; ++i) {
             int s = 0;
             for (int j = 0; j < N; ++j) {
                 if (word[j])
                     s ^= gf.exp[(gf.log[word[j]] + i * (N - 1 - j)) % N];
             }
-            synd[i - 1] = s;
+            synd[i - fcr] = s;
             nz |= (s != 0);
         }
         return nz;
@@ -257,7 +261,11 @@ struct RS {
                     den ^= gf.exp[(gf.log[lj] + (j - 1) * xinv_log) % N];
             }
             if (den == 0) return false;
-            word[pos] ^= gf.div(num, den);
+            int mag = gf.div(num, den);
+            // generalized Forney: e = X^(1-fcr) * omega(X^-1)/Lambda'(X^-1)
+            if (fcr != 1 && mag)
+                mag = gf.mul(mag, gf.pow_alpha((N - 1 - pos) * (1 - fcr)));
+            word[pos] ^= mag;
             return word[pos] >= 0 && word[pos] < 64;
         };
         for (int e = 0; e < n_erasures; ++e)
@@ -385,8 +393,8 @@ double rs_ft_decode(int k, const int32_t* syms, const float* margin,
                     const float* top_e, const int32_t* top_tone,
                     const float* e_sum, int n_tones, int trials,
                     uint64_t seed, double accept_thresh, double early_exit,
-                    int32_t* out_info) {
-    RS rs(k);
+                    int32_t* out_info, int fcr) {
+    RS rs(k, fcr);
     // syndromes once — identical for every erasure pattern
     int synd[64];
     bool nonzero = rs.syndromes(syms, synd);
@@ -457,8 +465,8 @@ double rs_ft_decode(int k, const int32_t* syms, const float* margin,
 
 // plain errors-and-erasures decode (for tests / parity checks)
 int rs_ee_decode(int k, const int32_t* syms, const int32_t* erasures,
-                 int n_erasures, int32_t* out_info) {
-    RS rs(k);
+                 int n_erasures, int32_t* out_info, int fcr) {
+    RS rs(k, fcr);
     int32_t word[N];
     std::memcpy(word, syms, sizeof(word));
     std::vector<int> er(erasures, erasures + n_erasures);
@@ -468,8 +476,8 @@ int rs_ee_decode(int k, const int32_t* syms, const int32_t* erasures,
 }
 
 // systematic encode (for tests)
-void rs_encode63(int k, const int32_t* info, int32_t* out_word) {
-    RS rs(k);
+void rs_encode63(int k, const int32_t* info, int32_t* out_word, int fcr) {
+    RS rs(k, fcr);
     rs.encode(info, out_word);
 }
 

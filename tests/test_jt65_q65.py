@@ -25,13 +25,48 @@ def test_rs63_error_and_erasure_correction():
 
 
 def test_jt65_message_roundtrip():
+    # RR73 is representable because it is a valid (ocean) grid square —
+    # the published reason that token was chosen.
     for text in ["CQ W2AXR FN13", "K1ABC W9XYZ -15", "K1ABC W9XYZ RR73",
-                 "W2AXR K1ABC R FN42"]:
+                 "K1ABC W9XYZ RRR", "K1ABC W9XYZ RO", "CQ 146 K1ABC FN42",
+                 "KA1ABC G4XYZ 73", "K1ABC W9XYZ R-22"]:
         syms = jt65.pack_message(text)
         assert syms.shape == (12,) and syms.max() < 64
         assert jt65.unpack_message(syms) == text
-    with pytest.raises(ValueError):
-        jt65.pack_message("TNX FER QSO 73")   # free text unsupported
+    # free text: 13-char base-42 packing with the overflow bits in
+    # nc1/nc2 bit 27 (legacy packtext)
+    for text in ["TNX FER QSO73", "HELLO WORLD", "73 DE K1ABC"]:
+        syms = jt65.pack_message(text)
+        assert jt65.unpack_message(syms) == text
+
+
+def test_jt65_channel_coding_published_parameters():
+    # Karn codec: generator roots alpha^3..alpha^53 (fcr=3)
+    from cwsl_digi_tpu.modes.rs64 import gpow
+    rs = jt65._RS
+    assert rs.fcr == 3 and rs.k == 12 and rs.n_parity == 51
+    info = np.arange(12, dtype=np.int64) + 1
+    cw = rs.encode(info)
+    # codeword must vanish at every generator root
+    assert max(rs.syndromes(cw)) == 0
+    # interleave63 is the 7x9 Fortran transpose; Gray code is reflected
+    assert jt65.ILV[1] == 9 and jt65.ILV[7] == 1
+    assert sorted(jt65.ILV.tolist()) == list(range(63))
+    assert jt65.GRAY[:4].tolist() == [0, 1, 3, 2]
+    assert np.all(jt65.UNGRAY[jt65.GRAY] == np.arange(64))
+
+
+def test_jt65_legacy_field_encodings():
+    from cwsl_digi_tpu.modes import legacy72
+    # DE token is the published magic constant
+    assert legacy72.packcall("DE") == 267796945
+    assert legacy72.packcall("CQ") == legacy72.NBASE + 1
+    assert legacy72.packcall("QRZ") == legacy72.NBASE + 2
+    assert legacy72.unpackcall(legacy72.packcall("G4JNT")) == "G4JNT"
+    # grid formula shared with WSPR (G4JNT M1): AA00 -> 179*180 + 0
+    assert legacy72.packgrid15("AA00") == 179 * 180
+    assert legacy72.packgrid15("RR99") == 0 * 180 + 179
+    assert legacy72.unpackgrid15(legacy72.packgrid15("EN37")) == "EN37"
 
 
 def test_jt65_tones():
