@@ -4,16 +4,19 @@ The reference invokes ``jt9 -7 -p T`` (FST4) and ``jt9 -W -p T`` (FST4W)
 with per-period shmem params (source/DecoderPool.hpp:490-573,649-659) and
 band limits 900-1100 Hz for FST4W (:655-658).  Native structure:
 
-  - 144 symbols: three 8-symbol 4-tone sync arrays (start/middle/end) and
-    120 data symbols carrying the 240 codeword bits, 2 per symbol;
+  - the published 160-symbol frame (genfst4.f90): five 8-symbol sync
+    blocks — the same sync word (0,1,3,2,1,0,2,3) at symbols 1-8, 39-46,
+    77-84, 115-122, 153-160 — separated by four 30-symbol data spans
+    carrying the 240 codeword bits, 2 per Gray-mapped symbol;
   - LDPC(240,101) (ldpc.py fst4_code): 101 info bits = 77 payload + 24 CRC
-    (poly 0x864CFB);
-  - symbol length scales with the period so the burst fills ~86% of the
-    slot: 4320/8640/23040/72000/146880 samples for 60/120/300/900/1800 s —
-    tone spacing down to 0.082 Hz for FST4-1800;
+    (poly 0x864CFB); the H matrix is a documented same-profile stand-in
+    (the published ldpc_240_101 table could not be reproduced from memory);
+  - symbol lengths per period follow the WSJT-X parameter set:
+    3888/8200/21504/66560/134400 samples for 60/120/300/900/1800 s —
+    tone spacing down to 0.089 Hz for FST4-1800;
   - FST4 carries the standard 77-bit message payload (message77.py);
-    FST4W carries a WSPR-style [call|grid|power] 50-bit beacon payload
-    (wspr.pack_message) zero-padded to 77 bits.
+    FST4W carries the WSPR-style beacon payload [call|grid|power]
+    in the 77-bit frame (message77 type 0.6 layout).
 
 All variants share the generic GFSK engine (gfsk_engine.py) — each period
 is just a different ModeSpec, so FST4-1800 compiles to the same program
@@ -34,17 +37,15 @@ from cwsl_digi_tpu.modes.gfsk import gfsk_modulate
 from cwsl_digi_tpu.modes.gfsk_engine import GFSKDecoder, ModeSpec
 from cwsl_digi_tpu.modes.ldpc import fst4_code, get_bp_decoder
 
-NSYM = 144
+NSYM = 160
 GRAY4 = (0, 1, 3, 2)
 CRC24_POLY = 0x864CFB
 CRC_BITS = 24
 PAYLOAD_BITS = 77
 
-SYNC_SEQS = (
-    (0, (0, 1, 3, 2, 1, 0, 2, 3)),
-    (68, (2, 3, 1, 0, 3, 2, 0, 1)),
-    (136, (1, 2, 0, 3, 0, 3, 1, 2)),
-)
+# the single published 8-symbol sync word, repeated in all five blocks
+SYNC_WORD = (0, 1, 3, 2, 1, 0, 2, 3)
+SYNC_SEQS = tuple((off, SYNC_WORD) for off in (0, 38, 76, 114, 152))
 _sync_cells = tuple(
     (off + i, t) for off, seq in SYNC_SEQS for i, t in enumerate(seq)
 )
@@ -52,8 +53,8 @@ _sync_syms = {s for s, _ in _sync_cells}
 DATA_SYMS = tuple(s for s in range(NSYM) if s not in _sync_syms)
 assert len(DATA_SYMS) == 120
 
-# samples/symbol per T/R period (~86% slot occupancy)
-SPS_BY_PERIOD = {60: 4320, 120: 8640, 300: 23040, 900: 72000, 1800: 146880}
+# samples/symbol per T/R period (WSJT-X FST4 NSPS table)
+SPS_BY_PERIOD = {60: 3888, 120: 8200, 300: 21504, 900: 66560, 1800: 134400}
 
 _FST4_MODES = {
     Mode.FST4_60: (60, False), Mode.FST4_120: (120, False),

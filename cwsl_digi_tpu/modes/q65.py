@@ -10,11 +10,16 @@ The 13 info symbols (78 bits) carry the standard 77-bit payload
 (message77.py) plus one pad bit, so the whole FT8 message grammar is
 available.
 
-Interop note: the real Q65 inner code is QRA(63,13), a q-ary
-repeat-accumulate code decoded with symbol-probability message passing;
-this build uses a same-profile sparse GF(64) code (modes/qra.py) with the
-same decoder structure.  Swap the published QRA matrix in for on-air
-interop — the decoder is table-driven.
+Protocol-exact pieces: the 85-symbol frame with the published 22-position
+sync pattern (q65.f90 isync), tone layout (sync at tone 0, data at
+1+value), and the 77-bit payload codec.
+
+Interop caveat (documented): the real Q65 inner code is QRA(63,13) — a
+q-ary repeat-accumulate code whose exact sparse matrix (IV3NWV's qracodes)
+could not be reproduced from memory in this zero-egress environment; this
+build uses a same-profile sparse GF(64) code (modes/qra.py) with the same
+message-passing decoder structure.  Swap the published QRA matrix in for
+on-air interop — the decoder is table-driven.
 """
 
 from __future__ import annotations
@@ -37,13 +42,12 @@ N_DATA = 63
 TONE_OFFSET = 1
 
 
-def _make_sync_syms(n_sync: int = 22, seed: int = 0x5136) -> tuple[int, ...]:
-    rng = np.random.default_rng(seed)
-    picks = np.sort(rng.permutation(NSYM)[:n_sync])
-    return tuple(int(i) for i in picks)
-
-
-SYNC_SYMS = _make_sync_syms()
+# The published Q65 sync pattern: 22 sync symbols in the 85-symbol frame
+# (WSJT-X lib/qra/q65/q65.f90 ``isync`` table, 1-based:
+# 1,9,12,13,15,22,23,26,27,33,35,38,46,50,55,60,62,66,69,74,76,85).
+SYNC_SYMS = tuple(s - 1 for s in
+                  (1, 9, 12, 13, 15, 22, 23, 26, 27, 33, 35,
+                   38, 46, 50, 55, 60, 62, 66, 69, 74, 76, 85))
 DATA_SYMS = tuple(i for i in range(NSYM) if i not in set(SYNC_SYMS))
 assert len(DATA_SYMS) == N_DATA
 

@@ -89,3 +89,17 @@ def test_registry_constructs_all_modes():
                  Mode.JS8, Mode.FST4_60, Mode.FST4W_120]:
         dec = get_decoder(mode)
         assert hasattr(dec, "decode")
+
+
+def test_fst4_published_frame_structure():
+    # genfst4.f90: 160 symbols, the sync word (0,1,3,2,1,0,2,3) at
+    # 1-based symbols 1-8, 39-46, 77-84, 115-122, 153-160
+    assert fst4.NSYM == 160
+    assert fst4.SYNC_WORD == (0, 1, 3, 2, 1, 0, 2, 3)
+    assert [off for off, _ in fst4.SYNC_SEQS] == [0, 38, 76, 114, 152]
+    assert all(seq == fst4.SYNC_WORD for _, seq in fst4.SYNC_SEQS)
+    assert len(fst4.DATA_SYMS) == 120
+    # data spans are the four 30-symbol gaps
+    gaps = [fst4.DATA_SYMS[i * 30:(i + 1) * 30] for i in range(4)]
+    assert gaps[0][0] == 8 and gaps[0][-1] == 37
+    assert gaps[3][0] == 122 and gaps[3][-1] == 151

@@ -162,3 +162,11 @@ def test_qra_mp_decodes_noisy_symbols():
     good = sum(1 for t in range(6)
                if ok[t] and (hard[t][:13] == infos[t]).all())
     assert good >= 5
+
+
+def test_q65_published_sync_positions():
+    # q65.f90 isync (1-based): 22 positions in the 85-symbol frame
+    assert q65.SYNC_SYMS == tuple(s - 1 for s in
+        (1, 9, 12, 13, 15, 22, 23, 26, 27, 33, 35,
+         38, 46, 50, 55, 60, 62, 66, 69, 74, 76, 85))
+    assert len(q65.DATA_SYMS) == 63
