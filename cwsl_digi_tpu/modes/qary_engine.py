@@ -231,12 +231,17 @@ class QaryDecoder:
 
         n_hops = ((n_samples - self.spec.sps) // self.spec.hop + 1
                   + 2 * self.spec.pad_hops)
+        batch = device_batch_for(n_hops, self.spec.nfft, 64)
         # The qary nfft (os_f * sps, e.g. 14400) is not a power of two, so
         # the TPU lowers its rfft via Bluestein with ~4-5x padded temps
         # (measured: 4.47G unpadded -> 19.07G padded HLO temp on v5e).
-        # Budget for that inflation or the program OOMs HBM.
-        batch = device_batch_for(n_hops, self.spec.nfft, 64)
-        return max(1, batch // 5)
+        # Budget for that inflation or the program OOMs HBM; CPU/GPU FFTs
+        # don't pay it, so keep the full batch there.
+        import jax
+
+        if jax.default_backend() == "tpu":
+            batch = batch // 5
+        return max(1, batch)
 
     def decode(self, audio: np.ndarray):
         from cwsl_digi_tpu.modes.base import DecodeResult
@@ -335,10 +340,11 @@ class QaryDecoder:
         symbol likelihoods -> batched GF(64) message passing on device.
 
         Each sync candidate is decoded under ``MP_VARIANTS`` prior
-        variants in ONE batched device call; the first converging variant
-        (in ladder order) wins.  Acceptance = zero syndrome + the soft
-        re-encode score (erasure-free variant of ``_soft_score`` computed
-        on the full energy table).
+        variants in one batched device call (chunked so the message-passing
+        working set [chunk, nc, mr, 64] stays inside the HBM budget); among
+        converging variants the best soft re-encode score wins.  Acceptance
+        = zero syndrome + the soft re-encode score (erasure-free variant of
+        ``_soft_score`` computed on the full energy table).
         """
         from cwsl_digi_tpu.modes.base import DecodeResult
 
@@ -369,10 +375,27 @@ class QaryDecoder:
             variants.append(p)
         n_var = len(variants)
         pv = np.stack(variants, axis=2)                # [B, K, V, n_data, T]
-        hard, ok, _conf = self.mp.decode(
-            pv.reshape(bsz * top_k * n_var, n_data, n_tones).astype(np.float32))
-        hard = np.asarray(hard).reshape(bsz, top_k, n_var, n_data)
-        ok = np.asarray(ok).reshape(bsz, top_k, n_var)
+        flat = pv.reshape(bsz * top_k * n_var, n_data, n_tones).astype(np.float32)
+        # chunk the MP fan-out: per-item working set is ~6 message arrays
+        # of [nc, mr, 64] f32 (fwd/bwd permuted, WHT temps, extrinsics)
+        nc, mr = self.mp.code.h_vars.shape
+        per_item = nc * mr * 64 * 4 * 6
+        from cwsl_digi_tpu.modes.gfsk_engine import DEVICE_BYTES_BUDGET
+
+        mp_batch = max(1, min(len(flat), DEVICE_BYTES_BUDGET // per_item))
+        hards, oks = [], []
+        for i in range(0, len(flat), mp_batch):
+            chunk = flat[i : i + mp_batch]
+            if len(chunk) < mp_batch:  # pad tail: one compiled shape
+                pad = np.broadcast_to(1.0 / n_tones,
+                                      (mp_batch - len(chunk), n_data, n_tones))
+                chunk = np.concatenate([chunk, pad.astype(np.float32)])
+            h, o, _conf = self.mp.decode(chunk)
+            hards.append(np.asarray(h))
+            oks.append(np.asarray(o))
+        hard = np.concatenate(hards)[: len(flat)].reshape(
+            bsz, top_k, n_var, n_data)
+        ok = np.concatenate(oks)[: len(flat)].reshape(bsz, top_k, n_var)
 
         results = []
         for wi in range(bsz):
@@ -383,7 +406,7 @@ class QaryDecoder:
                 ew = e[wi, k]
                 mean_e = ew.mean(axis=-1)
                 cw = None
-                s = -np.inf
+                best_s = -np.inf
                 for v in range(n_var):
                     if not ok[wi, k, v]:
                         continue
@@ -391,9 +414,8 @@ class QaryDecoder:
                     e_cw = ew[np.arange(n_data), cw_v]
                     s_v = float(np.mean(
                         np.log((e_cw + 1e-30) / (mean_e + 1e-30))))
-                    if s_v >= self.soft_accept:
-                        cw, s = cw_v, s_v
-                        break
+                    if s_v >= self.soft_accept and s_v > best_s:
+                        cw, best_s = cw_v, s_v
                 if cw is None:
                     continue
                 text = self.unpack(cw[: self.mp.code.k])

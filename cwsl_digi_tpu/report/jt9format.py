@@ -36,7 +36,7 @@ def _marker(mode: Mode) -> str:
     return _MARKERS.get(mode, "~")
 
 
-def format_jt9(result: DecodeResult, epoch_time: int) -> str:
+def format_jt9(result: DecodeResult, epoch_time: float) -> str:
     """One jt9-style decode line for the capture window at ``epoch_time``."""
     utc = _dt.datetime.fromtimestamp(epoch_time, _dt.timezone.utc)
     return (f"{utc:%H%M%S} {result.snr_db:3.0f} {result.dt_s:4.1f} "
@@ -63,7 +63,7 @@ def parse_jt9(line: str, mode: Mode = Mode.FT8) -> Optional[DecodeResult]:
                         mode=mode)
 
 
-def format_wsprd(result: DecodeResult, epoch_time: int,
+def format_wsprd(result: DecodeResult, epoch_time: float,
                  dial_freq_hz: int, drift: int = 0) -> str:
     """One wsprd-style 8-field line (freq as absolute MHz)."""
     utc = _dt.datetime.fromtimestamp(epoch_time, _dt.timezone.utc)

@@ -98,7 +98,7 @@ def build_sender_record(spot: Spot) -> bytes:
     if has_loc:
         body += _pstr(spot.locator)
     body += b"\x01"                       # info source, always 1
-    body += struct.pack(">I", spot.epoch_time & 0xFFFFFFFF)
+    body += struct.pack(">I", int(spot.epoch_time) & 0xFFFFFFFF)
     rec_id = 0x64AF if has_loc else 0x62A7
     rec = _pad4(struct.pack(">HH", rec_id, 0) + body)
     # size field covers the whole record incl. the 4-byte prefix

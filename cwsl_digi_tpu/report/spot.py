@@ -43,7 +43,7 @@ class Spot:
     message: str
     locator: str = ""
     report: str = ""        # numeric report if the message carried one
-    epoch_time: int = 0
+    epoch_time: float = 0
     decoder_index: int = 0
     drift_hz: float = 0.0   # WSPR/FST4W linear drift estimate
     # per-decoder WSPR reporter callsign override (decoder line field 5,
@@ -52,7 +52,7 @@ class Spot:
 
     def __post_init__(self) -> None:
         if not self.epoch_time:
-            self.epoch_time = int(time.time())
+            self.epoch_time = int(time.time())  # wall clock fallback
 
 
 def reporting_mode_name(mode: Mode) -> str:
@@ -69,7 +69,7 @@ def extract_spot(
     result: DecodeResult,
     base_freq_hz: int,
     decoder_index: int = 0,
-    epoch_time: int | None = None,
+    epoch_time: float | None = None,
 ) -> Optional[Spot]:
     """Apply the universal message grammar to one decode.
 
@@ -207,7 +207,7 @@ class SpotHandler:
         result: DecodeResult,
         base_freq_hz: int,
         decoder_index: int = 0,
-        epoch_time: int | None = None,
+        epoch_time: float | None = None,
         wspr_reporter_call: str = "",
     ) -> Optional[Spot]:
         spot = extract_spot(result, base_freq_hz, decoder_index, epoch_time)
@@ -223,7 +223,7 @@ class SpotHandler:
         if self.decodes_file:
             with open(self.decodes_file, "a") as f:
                 f.write(
-                    f"{spot.epoch_time} {spot.mode.value} {spot.freq_hz} "
+                    f"{spot.epoch_time:g} {spot.mode.value} {spot.freq_hz} "
                     f"{spot.snr_db:+d} {spot.dt_s:+.2f} {spot.message}\n"
                 )
         for rep in self.reporters:

@@ -32,6 +32,7 @@ from cwsl_digi_tpu.report.wsprnet import WSPRNet
 from cwsl_digi_tpu.report.spot import SpotHandler
 from cwsl_digi_tpu.runtime.decoderpool import DecoderPool
 from cwsl_digi_tpu.runtime.receiver import Receiver, Status
+from cwsl_digi_tpu.runtime.scheduler import CadenceScheduler
 from cwsl_digi_tpu.sdr.source import open_source
 from cwsl_digi_tpu.stats import Stats
 from cwsl_digi_tpu.utils.logging import LogLevel, ScreenPrinter
@@ -261,9 +262,18 @@ class App:
             signal.signal(signal.SIGINT,
                           lambda *_: setattr(self, "_terminate", True))
         started = time.monotonic()
-        last_status = 0.0
-        last_stats = 0.0
         stats_interval = float(self.cfg.get("logging", "statsreportinginterval"))
+        # one timer wheel for the supervision cadences (reference spreads
+        # these over the main loop tick counter, CWSL_DIGI.cpp:1204-1253)
+        sched = CadenceScheduler()
+        # re-attach finished/unattached decoders every ~10 s (:1217-1226)
+        sched.subscribe(10.0, lambda _b: self.setup_receivers(
+            utc_anchor=next_period_boundary(15.0)))
+        if self.rbn is not None:
+            # RBN status every 60 s (:1230-1252)
+            sched.subscribe(60.0, lambda _b: self._rbn_status())
+        if stats_interval:
+            sched.subscribe(stats_interval, lambda _b: self._report_stats())
         while not self._terminate:
             time.sleep(1.0)
             now = time.monotonic()
@@ -275,38 +285,34 @@ class App:
                     self.printer.warn(f"receiver {spec} stopped — reaping")
                     rx.terminate()
                     del self.receivers[spec]
-            # re-attach finished/unattached decoders every ~10 s (:1217-1226)
-            if int(now - started) % 10 == 0:
-                self.setup_receivers(utc_anchor=next_period_boundary(15.0))
-            # RBN status every 60 s (:1230-1252)
-            if self.rbn is not None and now - last_status >= 60.0:
-                last_status = now
-                entries = [
-                    DecoderEntry(line.mode.value, line.freq)
-                    for line in self.cfg.decoders
-                ]
-                self.rbn.handle_status(
-                    int(self.cfg.get("wsjtx", "highestdecodefreq")), entries
-                )
-            if stats_interval and now - last_stats >= stats_interval:
-                last_stats = now
-                labels = [f"{l.freq} {l.mode.value}" for l in self.cfg.decoders]
-                # per-decoder status from the owning receiver (reference
-                # status column incl. FINISHED->'Inactive',
-                # CWSL_DIGI.cpp:486-510)
-                statuses = ["Unattached"] * len(self.cfg.decoders)
-                for rx in self.receivers.values():
-                    s = rx.get_status()
-                    label = "Inactive" if s == Status.FINISHED else s.value
-                    for idx in rx.line_indices:
-                        statuses[idx] = label
-                self.printer.info(
-                    "\n" + self.stats.table(labels, statuses)
-                    + f"\nDecode workers busy: {self.pool.busy_fraction():.0%}"
-                    f"  windows decoded: {self.pool.count_decoded_windows}"
-                    f"  stale dropped: {self.pool.count_dropped_stale}"
-                )
+            sched.run_once()
         self.cleanup()
+
+    def _rbn_status(self) -> None:
+        entries = [
+            DecoderEntry(line.mode.value, line.freq)
+            for line in self.cfg.decoders
+        ]
+        self.rbn.handle_status(
+            int(self.cfg.get("wsjtx", "highestdecodefreq")), entries
+        )
+
+    def _report_stats(self) -> None:
+        labels = [f"{l.freq} {l.mode.value}" for l in self.cfg.decoders]
+        # per-decoder status from the owning receiver (reference status
+        # column incl. FINISHED->'Inactive', CWSL_DIGI.cpp:486-510)
+        statuses = ["Unattached"] * len(self.cfg.decoders)
+        for rx in self.receivers.values():
+            s = rx.get_status()
+            label = "Inactive" if s == Status.FINISHED else s.value
+            for idx in rx.line_indices:
+                statuses[idx] = label
+        self.printer.info(
+            "\n" + self.stats.table(labels, statuses)
+            + f"\nDecode workers busy: {self.pool.busy_fraction():.0%}"
+            f"  windows decoded: {self.pool.count_decoded_windows}"
+            f"  stale dropped: {self.pool.count_dropped_stale}"
+        )
 
     def cleanup(self) -> None:
         """Reference teardown order (source/CWSL_DIGI.cpp:454-468):

@@ -44,7 +44,8 @@ class DecodeJob:
     audio: np.ndarray              # [C, N] float32 at 12 kHz
     base_freqs: list[int]          # per-channel dial frequency
     decoder_indices: list[int]     # per-channel global decoder index
-    epoch_time: int                # window start (UTC *stream* time)
+    epoch_time: float              # window start (UTC *stream* time);
+                                   # exact (FT4 windows land on x.5 s)
     wspr_callsigns: list[str] | None = None
     enqueued_at: float = 0.0       # wall clock, stamped by DecoderPool.push
 
@@ -188,7 +189,7 @@ class DecoderPool:
         scale = (self.wav_scale_wspr if job.mode == Mode.WSPR
                  else self.wav_scale_ft)
         for ci in range(job.audio.shape[0]):
-            name = (f"{job.epoch_time}_{job.mode.value}_"
+            name = (f"{job.epoch_time:g}_{job.mode.value}_"
                     f"{job.base_freqs[ci]}_{uuid.uuid4().hex[:8]}.wav")
             write_wav(d / name, prepare_audio(job.audio[ci], scale))
 

@@ -202,7 +202,10 @@ class Receiver:
             audio=self._buffers[mode].copy(),
             base_freqs=[self.lines[i].freq for i in rows],
             decoder_indices=[self.line_indices[i] for i in rows],
-            epoch_time=int(self._epoch0[mode] + k * trp),
+            # exact window-start epoch; FT4 windows start on half
+            # seconds, so no int truncation here (wire formats that
+            # need integer seconds truncate at the presentation layer)
+            epoch_time=self._epoch0[mode] + k * trp,
             wspr_callsigns=[self.lines[i].wspr_call for i in rows],
         )
         self.pool.push(job)

@@ -26,7 +26,8 @@ class Stats:
             while len(self._times) < n:
                 self._times.append([])
 
-    def handle_report(self, decoder_index: int, epoch_time: int | None = None) -> None:
+    def handle_report(self, decoder_index: int,
+                      epoch_time: float | None = None) -> None:
         if epoch_time is None:
             epoch_time = int(time.time())
         self.ensure(decoder_index + 1)
