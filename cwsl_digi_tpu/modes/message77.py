@@ -52,6 +52,7 @@ _FREE = " 0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ+-./?"  # 42 chars
 # references resolve, mirroring WSJT-X's behavior of hashing all calls heard.
 _HASH_TABLE: dict[int, str] = {}     # 22-bit
 _HASH12_TABLE: dict[int, str] = {}   # 12-bit (type-4 messages)
+_HASH10_TABLE: dict[int, str] = {}   # 10-bit (DXpedition fox reference)
 
 # base-38 charset for type-4 nonstandard calls (11 chars, 58 bits)
 _C58 = " 0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ/"
@@ -87,9 +88,11 @@ def hash12(call: str) -> int:
 
 
 def hash10(call: str) -> int:
-    """WSJT-X 10-bit hash (ihashcall m=10), used by 0.5 telemetry-adjacent
-    and Q65/i3=5 formats."""
-    return tables.ihashcall(call.strip(), 10)
+    """WSJT-X 10-bit hash (ihashcall m=10), used by the DXpedition (0.1)
+    fox-call reference and Q65/i3=5 formats."""
+    h10 = tables.ihashcall(call.strip(), 10)
+    _HASH10_TABLE[h10] = call.strip().upper()
+    return h10
 
 
 def register_call(call: str) -> None:
@@ -98,6 +101,7 @@ def register_call(call: str) -> None:
     if len(c) >= 3:
         hash22(c)
         hash12(c)
+        hash10(c)
 
 
 def _is_standard_call(call: str) -> bool:
@@ -262,19 +266,22 @@ def _is_nonstandard_call(w: str) -> bool:
 
 
 def pack77(text: str) -> np.ndarray:
-    """Message text -> 77-bit payload (uint8 array)."""
-    words = text.strip().upper().split()
-    # try standard type-1 forms
-    try:
-        return _pack_standard(words)
-    except ValueError:
-        pass
-    # type-4: one nonstandard call (compound/prefixed), other call hashed
-    try:
-        return _pack_nonstandard(words)
-    except ValueError:
-        pass
-    return _pack_free_text(text.strip().upper())
+    """Message text -> 77-bit payload (uint8 array).
+
+    Type precedence mirrors WSJT-X packjt77: standard (1/2), then the
+    special contest/beacon forms (0.1 DXpedition, 0.3/0.4 Field Day,
+    3 RTTY RU, 5 EU VHF, 0.5 telemetry), then nonstandard-call type 4,
+    then free text (0.0)."""
+    stripped = text.strip().upper()
+    words = stripped.split()
+    for packer in (_pack_standard, _pack_dxpedition, _pack_fieldday,
+                   _pack_rtty_ru, _pack_euvhf, _pack_telemetry,
+                   _pack_nonstandard):
+        try:
+            return packer(words)
+        except ValueError:
+            pass
+    return _pack_free_text(stripped)
 
 
 _R2 = {"": 0, "RRR": 1, "RR73": 2, "73": 3}
@@ -362,6 +369,22 @@ def _pack_call28_strict(call: str) -> int:
 
 
 def _pack_standard(words: list[str]) -> np.ndarray:
+    # /R (i3=1) and /P (i3=2, EU VHF) suffixes on standard calls
+    suffixes = [w[-2:] if w.endswith(("/R", "/P")) else "" for w in words]
+    if any(suffixes):
+        sfx = [s for s in suffixes if s]
+        if len(set(sfx)) > 1 or any(suffixes[2:]):
+            raise ValueError("mixed or misplaced /R,/P suffixes")
+        bare = [w[:-2] if s else w for w, s in zip(words, suffixes)]
+        base = _pack_standard(bare)
+        if sfx[0] == "/P":
+            base[74:77] = bits_from_int(2, 3)    # i3=2 (EU VHF)
+        for wi, s in enumerate(suffixes[:2]):
+            if s and wi == 0 and words[0] != "CQ":
+                base[28] = 1                      # r1a/p1a
+            elif s:
+                base[57] = 1                      # r1b/p1b
+        return base
     if not words:
         raise ValueError("empty")
     if words[0] == "CQ":
@@ -408,6 +431,242 @@ def _pack_free_text(text: str) -> np.ndarray:
     return np.array(bits, dtype=np.uint8)
 
 
+# --- contest / special formats (QEX "The FT4 and FT8 Communication
+# Protocols" Table 1; reference consumes these via jt9 stdout,
+# source/OutputHandler.cpp:924-1128) -----------------------------------
+
+# ARRL/RAC sections for Field Day (S7), alphabetized with DX last — the
+# ordering convention of WSJT-X packjt77.
+ARRL_SECTIONS = (
+    "AB", "AK", "AL", "AR", "AZ", "BC", "CO", "CT", "DE", "EB", "EMA",
+    "ENY", "EPA", "EWA", "GA", "GTA", "IA", "ID", "IL", "IN", "KS", "KY",
+    "LA", "LAX", "MAR", "MB", "MDC", "ME", "MI", "MN", "MO", "MS", "MT",
+    "NC", "ND", "NE", "NFL", "NH", "NL", "NLI", "NM", "NNJ", "NNY", "NT",
+    "NTX", "NV", "OH", "OK", "ONE", "ONN", "ONS", "OR", "ORG", "PAC",
+    "PR", "QC", "RI", "SB", "SC", "SCV", "SD", "SDG", "SF", "SFL", "SJV",
+    "SK", "SNJ", "STX", "SV", "TN", "TX", "UT", "VA", "VI", "VT", "WCF",
+    "WI", "WMA", "WNY", "WPA", "WTX", "WV", "WWA", "WY", "DX",
+)
+
+# RTTY Roundup s13 states/provinces (serial numbers occupy 1..8000;
+# 8001+index selects a state) — US states in conventional order, then
+# Canadian provinces, then DC, per the WSJT-X RTTY RU convention.
+RU_STATES = (
+    "AL", "AK", "AZ", "AR", "CA", "CO", "CT", "DE", "FL", "GA", "HI",
+    "ID", "IL", "IN", "IA", "KS", "KY", "LA", "ME", "MD", "MA", "MI",
+    "MN", "MS", "MO", "MT", "NE", "NV", "NH", "NJ", "NM", "NY", "NC",
+    "ND", "OH", "OK", "OR", "PA", "RI", "SC", "SD", "TN", "TX", "UT",
+    "VT", "VA", "WA", "WV", "WI", "WY", "NB", "NS", "QC", "ON", "MB",
+    "SK", "AB", "BC", "NWT", "NF", "LB", "NU", "YT", "PEI", "DC",
+)
+
+
+def _pack_dxpedition(words: list[str]) -> np.ndarray:
+    """Type 0.1: 'K1ABC RR73; W9XYZ <KH1/KH7Z> -08'
+    = c28 c28 h10 r5 n3=1 i3=0 (Fox multi-stream acknowledgment)."""
+    if len(words) != 5 or words[1] != "RR73;":
+        raise ValueError("not a DXpedition message")
+    c1, c2, fox, rpt = words[0], words[2], words[3], words[4]
+    if not (fox.startswith("<") and fox.endswith(">")):
+        raise ValueError("fox call must be hashed <CALL>")
+    try:
+        r = int(rpt)
+    except ValueError:
+        raise ValueError("bad report") from None
+    if not (-30 <= r <= 32) or (r + 30) % 2:
+        raise ValueError("report out of range (-30..+32 even)")
+    bits = (bits_from_int(_pack_call28_strict(c1), 28)
+            + bits_from_int(_pack_call28_strict(c2), 28)
+            + bits_from_int(hash10(fox.strip("<>")), 10)
+            + bits_from_int((r + 30) // 2, 5)
+            + bits_from_int(1, 3) + bits_from_int(0, 3))
+    return np.array(bits, dtype=np.uint8)
+
+
+def _unpack_dxpedition(bits: np.ndarray) -> Message:
+    c1 = unpack_call28(int_from_bits(bits[0:28]))
+    c2 = unpack_call28(int_from_bits(bits[28:56]))
+    fox = _HASH10_TABLE.get(int_from_bits(bits[56:66]))
+    rpt = 2 * int_from_bits(bits[66:71]) - 30
+    fox_disp = f"<{fox}>" if fox else "<...>"
+    text = f"{c1} RR73; {c2} {fox_disp} {rpt:+03d}"
+    return Message(text=text, call1=c2, call2=fox or "", i3=0,
+                   report=f"{rpt:+03d}")
+
+
+def _pack_fieldday(words: list[str]) -> np.ndarray:
+    """Types 0.3/0.4: 'WA9XYZ KA1ABC R 16A EMA'
+    = c28 c28 R1 n4 k3 S7 n3=3 (transmitters 17-32 -> n3=4)."""
+    if len(words) == 5 and words[2] == "R":
+        r1, cls, sec = 1, words[3], words[4]
+    elif len(words) == 4:
+        r1, cls, sec = 0, words[2], words[3]
+    else:
+        raise ValueError("not a Field Day message")
+    if sec not in ARRL_SECTIONS or len(cls) < 2 or not cls[:-1].isdigit() \
+            or cls[-1] not in "ABCDEF":
+        raise ValueError("not a Field Day exchange")
+    ntx = int(cls[:-1])
+    if not 1 <= ntx <= 32:
+        raise ValueError("transmitter count 1..32")
+    n3 = 3 if ntx <= 16 else 4
+    bits = (bits_from_int(_pack_call28_strict(words[0]), 28)
+            + bits_from_int(_pack_call28_strict(words[1]), 28)
+            + [r1] + bits_from_int((ntx - 1) % 16, 4)
+            + bits_from_int("ABCDEF".index(cls[-1]) + 1, 3)
+            + bits_from_int(ARRL_SECTIONS.index(sec) + 1, 7)
+            + bits_from_int(n3, 3) + bits_from_int(0, 3))
+    return np.array(bits, dtype=np.uint8)
+
+
+def _unpack_fieldday(bits: np.ndarray, n3: int) -> Message:
+    c1 = unpack_call28(int_from_bits(bits[0:28]))
+    c2 = unpack_call28(int_from_bits(bits[28:56]))
+    r1 = int(bits[56])
+    ntx = int_from_bits(bits[57:61]) + 1 + (16 if n3 == 4 else 0)
+    k3 = int_from_bits(bits[61:64])
+    s7 = int_from_bits(bits[64:71])
+    cls = "ABCDEF"[k3 - 1] if 1 <= k3 <= 6 else "?"
+    sec = ARRL_SECTIONS[s7 - 1] if 1 <= s7 <= len(ARRL_SECTIONS) else "?"
+    ex = f"{ntx}{cls} {sec}"
+    text = " ".join(w for w in (c1, c2, "R" if r1 else "", ex) if w)
+    return Message(text=text, call1=c1, call2=c2, i3=0, report=ex)
+
+
+def _pack_rtty_ru(words: list[str]) -> np.ndarray:
+    """Type 3: '[TU;] K1ABC W9XYZ [R] 579 WI|0123'
+    = t1 c28 c28 R1 r3 s13 (ARRL RTTY Roundup)."""
+    w = list(words)
+    tu = 0
+    if w and w[0] == "TU;":
+        tu = 1
+        w = w[1:]
+    if len(w) == 5 and w[2] == "R":
+        r1, rst, ex = 1, w[3], w[4]
+    elif len(w) == 4:
+        r1, rst, ex = 0, w[2], w[3]
+    else:
+        raise ValueError("not an RTTY RU message")
+    if len(rst) != 3 or not rst.isdigit() or rst[0] != "5" \
+            or rst[2] != "9" or not "2" <= rst[1] <= "9":
+        raise ValueError("RST must be 529..599")
+    if ex in RU_STATES:
+        s13 = 8001 + RU_STATES.index(ex)
+    elif ex.isdigit() and 1 <= int(ex) <= 7999:
+        s13 = int(ex)
+    else:
+        raise ValueError("exchange must be serial 1..7999 or state")
+    bits = ([tu] + bits_from_int(_pack_call28_strict(w[0]), 28)
+            + bits_from_int(_pack_call28_strict(w[1]), 28)
+            + [r1] + bits_from_int(int(rst[1]) - 2, 3)
+            + bits_from_int(s13, 13) + bits_from_int(3, 3))
+    return np.array(bits, dtype=np.uint8)
+
+
+def _unpack_rtty_ru(bits: np.ndarray) -> Message:
+    tu = int(bits[0])
+    c1 = unpack_call28(int_from_bits(bits[1:29]))
+    c2 = unpack_call28(int_from_bits(bits[29:57]))
+    r1 = int(bits[57])
+    rst = f"5{int_from_bits(bits[58:61]) + 2}9"
+    s13 = int_from_bits(bits[61:74])
+    if s13 >= 8001 and s13 - 8001 < len(RU_STATES):
+        ex = RU_STATES[s13 - 8001]
+    else:
+        ex = f"{s13:04d}"
+    text = " ".join(w for w in (("TU;" if tu else ""), c1, c2,
+                                ("R" if r1 else ""), rst, ex) if w)
+    return Message(text=text, call1=c1, call2=c2, i3=3,
+                   report=f"{rst} {ex}")
+
+
+def _grid25(grid: str) -> int:
+    g = grid.upper()
+    if len(g) != 6 or not all(c in "ABCDEFGHIJKLMNOPQR" for c in g[:2]) \
+            or not g[2:4].isdigit() \
+            or not all("A" <= c <= "X" for c in g[4:]):
+        raise ValueError("need a 6-char locator")
+    v = (ord(g[0]) - 65) * 18 + (ord(g[1]) - 65)
+    v = v * 10 + int(g[2])
+    v = v * 10 + int(g[3])
+    v = v * 24 + (ord(g[4]) - 65)
+    v = v * 24 + (ord(g[5]) - 65)
+    return v
+
+
+def _ungrid25(v: int) -> str:
+    e2 = v % 24; v //= 24
+    e1 = v % 24; v //= 24
+    d2 = v % 10; v //= 10
+    d1 = v % 10; v //= 10
+    a2 = v % 18; v //= 18
+    return (chr(65 + v) + chr(65 + a2) + str(d1) + str(d2)
+            + chr(65 + e1) + chr(65 + e2))
+
+
+def _pack_euvhf(words: list[str]) -> np.ndarray:
+    """Type 5: '<G4ABC> <PA9XYZ> R 570007 JO22DB'
+    = h12 h22 R1 r3 s11 g25 (EU VHF contest, 6-digit report+serial)."""
+    if len(words) == 5 and words[2] == "R":
+        r1, ex, grid = 1, words[3], words[4]
+    elif len(words) == 4:
+        r1, ex, grid = 0, words[2], words[3]
+    else:
+        raise ValueError("not an EU VHF message")
+    c1, c2 = words[0], words[1]
+    if not (c1.startswith("<") and c2.startswith("<")):
+        raise ValueError("EU VHF carries hashed calls")
+    if len(ex) != 6 or not ex.isdigit() or not 52 <= int(ex[:2]) <= 59:
+        raise ValueError("exchange must be RSdddd with RS 52..59")
+    g25 = _grid25(grid)
+    c1b, c2b = c1.strip("<>"), c2.strip("<>")
+    register_call(c1b)
+    register_call(c2b)
+    bits = (bits_from_int(hash12(c1b), 12) + bits_from_int(hash22(c2b), 22)
+            + [r1] + bits_from_int(int(ex[:2]) - 52, 3)
+            + bits_from_int(int(ex[2:]) % 2048, 11)
+            + bits_from_int(g25, 25) + bits_from_int(5, 3))
+    return np.array(bits, dtype=np.uint8)
+
+
+def _unpack_euvhf(bits: np.ndarray) -> Message:
+    h12 = int_from_bits(bits[0:12])
+    h22 = int_from_bits(bits[12:34])
+    r1 = int(bits[34])
+    rs = int_from_bits(bits[35:38]) + 52
+    serial = int_from_bits(bits[38:49])
+    grid = _ungrid25(int_from_bits(bits[49:74]))
+    c1 = _HASH12_TABLE.get(h12)
+    c2 = _HASH_TABLE.get(h22)
+    c1d = f"<{c1}>" if c1 else "<...>"
+    c2d = f"<{c2}>" if c2 else "<...>"
+    ex = f"{rs}{serial:04d}"
+    text = " ".join(w for w in (c1d, c2d, ("R" if r1 else ""), ex, grid)
+                    if w)
+    return Message(text=text, call1=c1 or "", call2=c2 or "", i3=5,
+                   grid=grid[:4], report=ex)
+
+
+def _pack_telemetry(words: list[str]) -> np.ndarray:
+    """Type 0.5: up to 18 hex digits (71 bits, first digit <= 7)."""
+    if len(words) != 1:
+        raise ValueError("telemetry is one token")
+    t = words[0]
+    if not (6 <= len(t) <= 18) or not all(c in "0123456789ABCDEF"
+                                          for c in t):
+        raise ValueError("not telemetry hex")
+    v = int(t, 16)
+    if v >> 71:
+        raise ValueError("telemetry exceeds 71 bits")
+    bits = bits_from_int(v, 71) + bits_from_int(5, 3) + bits_from_int(0, 3)
+    return np.array(bits, dtype=np.uint8)
+
+
+def _unpack_telemetry(bits: np.ndarray) -> Message:
+    v = int_from_bits(bits[0:71])
+    return Message(text=f"{v:X}", i3=0, is_free_text=True)
+
+
 def unpack77(bits: np.ndarray) -> Message:
     bits = np.asarray(bits).astype(np.uint8)
     assert bits.shape == (77,)
@@ -423,6 +682,12 @@ def unpack77(bits: np.ndarray) -> Message:
         for w in (w1, w2):
             if _is_standard_call(w):
                 register_call(w)
+        # r1a/r1b (i3=1) mark /R rovers; p1a/p1b (i3=2) mark /P (EU VHF)
+        sfx = "/R" if i3 == 1 else "/P"
+        if bits[28] and _is_standard_call(w1):
+            w1 += sfx
+        if bits[57] and _is_standard_call(w2):
+            w2 += sfx
         w3 = unpack_grid15(g15, rr)
         text = " ".join(w for w in (w1, w2, w3) if w)
         msg = Message(text=text, call1=w1, call2=w2, i3=i3)
@@ -432,14 +697,28 @@ def unpack77(bits: np.ndarray) -> Message:
         elif g15 >= MAXGRID4 + 4:
             msg.report = w3
         return msg
+    if i3 == 3:
+        return _unpack_rtty_ru(bits)
     if i3 == 4:
         return _unpack_nonstandard(bits)
+    if i3 == 5:
+        return _unpack_euvhf(bits)
     if i3 == 0:
-        v = int_from_bits(bits[0:71])
-        chars = []
-        for _ in range(13):
-            chars.append(_FREE[v % 42])
-            v //= 42
-        text = "".join(reversed(chars)).strip()
-        return Message(text=text, i3=0, is_free_text=True)
+        n3 = int_from_bits(bits[71:74])
+        if n3 == 0:
+            v = int_from_bits(bits[0:71])
+            chars = []
+            for _ in range(13):
+                chars.append(_FREE[v % 42])
+                v //= 42
+            text = "".join(reversed(chars)).strip()
+            return Message(text=text, i3=0, is_free_text=True)
+        if n3 == 1:
+            return _unpack_dxpedition(bits)
+        if n3 in (3, 4):
+            return _unpack_fieldday(bits, n3)
+        if n3 == 5:
+            return _unpack_telemetry(bits)
+        return Message(text=f"<unsupported i3=0.{n3}>", i3=0,
+                       is_free_text=True)
     return Message(text=f"<unsupported i3={i3}>", i3=i3, is_free_text=True)

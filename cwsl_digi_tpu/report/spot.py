@@ -150,10 +150,14 @@ def _spot_from_words(words, text, result, base_freq_hz, decoder_index,
         tail = words[2:]
         if tail:
             t = tail[-1]
-            if is_valid_locator(t) and t not in ("RR73",):
+            if _is_locator_4or6(t) and t not in ("RR73",):
                 locator = t
             elif t.lstrip("R").lstrip("+-").isdigit():
                 report = t
+            # contest exchanges ('579 WI', 'R 16A EMA', 'R 570007 JO22DB'):
+            # the RST/serial becomes the report; never mistaken for a grid
+            if len(tail) >= 2 and tail[-2].isdigit() and not report:
+                report = tail[-2]
     sender = sender.strip("<>")
     if not check_call(sender):
         return None
@@ -172,6 +176,15 @@ def _spot_from_words(words, text, result, base_freq_hz, decoder_index,
         decoder_index=decoder_index,
         drift_hz=result.drift_hz,
     )
+
+
+def _is_locator_4or6(t: str) -> bool:
+    """Reference checkLocator is 4-char only (HamUtils.hpp:26-43); EU VHF
+    type-5 messages carry 6-char grids, which PSK Reporter accepts."""
+    if len(t) == 6:
+        return (is_valid_locator(t[:4])
+                and all("A" <= c <= "X" for c in t[4:]))
+    return is_valid_locator(t)
 
 
 def _plausible_call(w: str) -> bool:

@@ -123,3 +123,53 @@ def test_message77_grid_fields():
     assert m.is_cq and m.grid == "FN13" and m.call2 == "W2AXR"
     m = message77.unpack77(message77.pack77("K1ABC W9XYZ -15"))
     assert m.report == "-15"
+
+
+def test_contest_and_special_message_types():
+    """i3=0.1/0.3/0.4/0.5, i3=3, i3=5 and /R //P suffixes round-trip
+    (reference parses these from jt9 stdout, OutputHandler.cpp:924-1128)."""
+    from cwsl_digi_tpu.modes import message77 as m
+
+    m.register_call("KH1/KH7Z")
+    m.register_call("G4ABC")
+    m.register_call("PA9XYZ")
+    cases = [
+        ("K1ABC RR73; W9XYZ <KH1/KH7Z> -08", 0),   # 0.1 DXpedition
+        ("WA9XYZ KA1ABC R 16A EMA", 0),            # 0.3 Field Day
+        ("WA9XYZ KA1ABC 32A SNJ", 0),              # 0.4 Field Day 17-32
+        ("123456789ABCDEF012", 0),                 # 0.5 telemetry
+        ("K1ABC W9XYZ 579 WI", 3),                 # RTTY RU state
+        ("TU; K1ABC W9XYZ R 559 0013", 3),         # RTTY RU serial + TU;
+        ("<G4ABC> <PA9XYZ> R 570007 JO22DB", 5),   # EU VHF
+        ("<G4ABC> <PA9XYZ> 520001 IO91NP", 5),
+        ("K1ABC/R W9XYZ/R EN37", 1),               # rovers
+        ("PA3XYZ/P G4ABC/P RR73", 2),              # EU VHF /P
+        ("CQ K1ABC FN42", 1),
+        ("TNX BOB 73 GL", 0),                      # still free text
+    ]
+    for text, want_i3 in cases:
+        out = m.unpack77(m.pack77(text))
+        assert out.text == text, (text, out.text)
+        assert out.i3 == want_i3, (text, out.i3)
+
+
+def test_contest_spot_extraction():
+    """Contest exchanges must not be mistaken for grids; senders and
+    reports still extract (reference OutputHandler.cpp:924-1128)."""
+    from cwsl_digi_tpu.constants import Mode
+    from cwsl_digi_tpu.modes.base import DecodeResult
+    from cwsl_digi_tpu.report.spot import extract_spot
+
+    def spot(msg):
+        return extract_spot(
+            DecodeResult(msg, -10, 0.1, 1500.0, mode=Mode.FT8),
+            14_074_000, epoch_time=0)
+
+    s = spot("K1ABC W9XYZ 579 WI")
+    assert s.callsign == "W9XYZ" and s.locator == ""
+    s = spot("WA9XYZ KA1ABC R 16A EMA")
+    assert s.callsign == "KA1ABC" and s.locator == ""
+    s = spot("K1ABC RR73; W9XYZ <KH1/KH7Z> -08")
+    assert s.callsign == "KH1/KH7Z" or s.callsign == "W9XYZ"
+    s = spot("<G4ABC> <PA9XYZ> R 570007 JO22DB")
+    assert s.callsign == "PA9XYZ" and s.locator == "JO22DB"
