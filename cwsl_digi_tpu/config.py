@@ -67,6 +67,11 @@ _DEFAULTS: dict[str, dict[str, Any]] = {
         "wspraudioscalefactor": 0.20,
     },
     "js8call": {"binpath": ""},
+    # framework-specific section (not in the reference's config.ini):
+    # TPU compute-backend knobs
+    "tpu": {
+        "channelizer": "xla",         # xla | pallas (bench.py compares)
+    },
     "reporting": {
         "pskreporter": False,
         "wsprnet": False,

@@ -203,7 +203,8 @@ class App:
             try:
                 rx = Receiver(src, lines, self.pool, utc_anchor=utc_anchor,
                               log=self.printer.print, line_indices=idxs,
-                              align_live=live)
+                              align_live=live,
+                              channelizer=self.cfg.get("tpu", "channelizer"))
             except ValueError as e:
                 # e.g. decoder tuned outside the source's band — log and
                 # retry on the re-attach cadence (reference behavior for

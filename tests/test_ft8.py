@@ -126,3 +126,42 @@ def test_no_false_decodes_on_noise(decoder):
     noise = rng.standard_normal(int(ft8.T_R * ft8.WAVE_SR)).astype(np.float32)
     results = decoder.decode(noise)[0]
     assert results == []
+
+
+def test_device_subtraction_matches_host():
+    """modes/subtract.subtract_known == the host _subtract loop (the
+    device path is what decode() actually uses; the host path is the
+    readable oracle)."""
+    from cwsl_digi_tpu.modes.subtract import subtract_known
+
+    dec = ft8.FT8Decoder()
+    rng = np.random.default_rng(5)
+    text = "CQ W2AXR FN13"
+    a = ft8.synthesize(text, 1501.3, amplitude=1.0, start_s=0.53)
+    a = add_noise_at_snr(a, +10.0, ft8.WAVE_SR, rng).astype(np.float32)
+
+    out = dec.decode_arrays(a)
+    score = np.where(out["valid"], out["score"], -np.inf)
+    wi, k0 = np.unravel_index(np.argmax(score), score.shape)
+    info = np.asarray(out["payload"][wi, k0], np.uint8)
+    t0_hop = int(out["t0_hop"][wi, k0])
+    f0_bin = int(out["f0_bin"][wi, k0])
+
+    host = a.copy()
+    dec._subtract(host, info, t0_hop, f0_bin)
+
+    m, k = 8, dec.bp.code.k
+    params = np.zeros((1, m, k + 3), np.int32)
+    params[0, 0, :k] = info[:k]
+    params[0, 0, k:] = [t0_hop, f0_bin, 1]
+    device = np.asarray(subtract_known(
+        dec.spec, a[None, :], params, dec._gen_parity_f32))[0]
+
+    sig_power = float(np.mean(ft8.synthesize(text, 1501.3) ** 2))
+    host_removed = a - host
+    dev_removed = a - device
+    assert np.mean(host_removed**2) > 0.25 * sig_power
+    assert np.mean(dev_removed**2) > 0.25 * sig_power
+    # device and host subtract nearly the same waveform
+    err = np.mean((dev_removed - host_removed) ** 2) / np.mean(host_removed**2)
+    assert err < 1e-3
