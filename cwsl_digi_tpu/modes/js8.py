@@ -67,12 +67,20 @@ SPEC = ModeSpec(
 
 FRAME_TEXT = 0
 FRAME_DIRECTED = 1
+FRAME_HEARTBEAT = 2
+FRAME_COMPOUND = 3
 
 # directed-message commands (JS8Call's directed grammar, classified by the
-# reference via js8call's DecodedText, OutputHandler.cpp:403-503)
+# reference via js8call's DecodedText/varicode, OutputHandler.cpp:403-503).
+# 8-bit command + 8-bit numeric argument (e.g. 'SNR -12', 'HEARING' counts);
+# '>' is the relay operator ("A> B> text").
 DIRECTED_CMDS = ("", "SNR?", "SNR", "ACK", "73", "HEARTBEAT", "HB", "QSL?",
                  "QSL", "CQ", "AGN?", "INFO?", "INFO", "GRID?", "GRID",
-                 "MSG")
+                 "MSG", "MSG TO:", "QUERY", "QUERY MSGS", "QUERY CALL",
+                 "STATUS?", "STATUS", "HEARING?", "HEARING", "DIT DIT",
+                 "FB", "HW CPY?", "SK", "RR", "YES", "NO", ">")
+# commands that carry a numeric argument in the arg8 field
+_ARG_CMDS = frozenset({"SNR"})
 
 
 @functools.lru_cache(maxsize=1)
@@ -101,29 +109,88 @@ def js8_crc_matrix() -> np.ndarray:
 # Payload codec
 # ---------------------------------------------------------------------------
 
+def _pack_c58(call: str) -> int:
+    v = 0
+    for ch in call.rjust(11):
+        v = v * 38 + message77._C58.index(ch)
+    return v
+
+
+def _unpack_c58(v: int) -> str:
+    chars = []
+    for _ in range(11):
+        chars.append(message77._C58[v % 38])
+        v //= 38
+    return "".join(reversed(chars)).strip()
+
+
 def pack_payload(text: str) -> np.ndarray:
     """Pack a message.
 
-    ``FROM: TO CMD`` packs as a directed frame (both calls + 16-bit
-    command); anything else packs as a 12-char varicode text frame.
+    - ``FROM: HB [GRID]`` / ``FROM: CQ [GRID]`` -> heartbeat frame
+      (JS8Call's FrameHeartbeat: announce + optional 4-char grid);
+    - ``FROM: TO CMD [arg]`` -> directed frame (both calls + command +
+      8-bit numeric argument, e.g. ``KN4CRD: J1Y SNR -12``);
+    - ``FROM:`` with a compound (nonstandard) callsign -> compound
+      announce frame (base-38 c58, like JS8Call's two-frame compound
+      flow — grid/text follows in the next frame);
+    - anything else -> 12-char varicode text frame (relay paths
+      ``A> B> text`` ride as text, classified by :func:`classify`).
     """
     t = text.strip().upper()
     words = t.split()
     if len(words) >= 2 and words[0].endswith(":"):
         from_call = words[0][:-1]
-        to_call = words[1]
-        cmd = " ".join(words[2:])
-        if cmd in DIRECTED_CMDS:
+        rest = words[1:]
+        if rest[0] in ("HB", "HEARTBEAT", "CQ") and len(rest) <= 2:
+            grid = rest[1] if len(rest) == 2 else ""
             try:
-                c1 = message77.pack_call28(from_call)
-                c2 = message77.pack_call28(to_call)
-                bits = (message77.bits_from_int(FRAME_DIRECTED, 3)
-                        + message77.bits_from_int(c1, 28)
-                        + message77.bits_from_int(c2, 28)
-                        + message77.bits_from_int(DIRECTED_CMDS.index(cmd), 16))
+                g15, _ = (message77.pack_grid15(grid) if grid
+                          else (message77.MAXGRID4, 0))
+                if g15 >= message77.MAXGRID4 and grid:
+                    raise ValueError("heartbeat grid must be a locator")
+                if message77._is_standard_call(from_call):
+                    c1 = message77.pack_call28(from_call)
+                    bits = (message77.bits_from_int(FRAME_HEARTBEAT, 3)
+                            + [1 if rest[0] != "CQ" else 0]
+                            + message77.bits_from_int(c1, 28)
+                            + message77.bits_from_int(g15, 15)
+                            + [0] * 28)
+                    return np.asarray(bits, np.uint8)
+                # compound call: announce frame (c58), grid rides separately
+                bits = (message77.bits_from_int(FRAME_COMPOUND, 3)
+                        + [1 if rest[0] != "CQ" else 0]
+                        + message77.bits_from_int(_pack_c58(from_call), 58)
+                        + [0] * 13)
+                message77.register_call(from_call)
                 return np.asarray(bits, np.uint8)
             except ValueError:
                 pass
+        if len(rest) >= 2:
+            to_call = rest[0]
+            cmd_words = rest[1:]
+            arg = 0
+            # a trailing number is an argument only when what precedes it
+            # is itself a command ("SNR -12"); bare "73" IS the command
+            if (len(cmd_words) >= 2
+                    and cmd_words[-1].lstrip("+-").isdigit()
+                    and " ".join(cmd_words[:-1]) in DIRECTED_CMDS):
+                arg = int(cmd_words[-1])
+                cmd_words = cmd_words[:-1]
+            cmd = " ".join(cmd_words)
+            if cmd in DIRECTED_CMDS and -64 <= arg <= 63:
+                try:
+                    c1 = message77.pack_call28(from_call)
+                    c2 = message77.pack_call28(to_call)
+                    bits = (message77.bits_from_int(FRAME_DIRECTED, 3)
+                            + message77.bits_from_int(c1, 28)
+                            + message77.bits_from_int(c2, 28)
+                            + message77.bits_from_int(
+                                DIRECTED_CMDS.index(cmd), 8)
+                            + message77.bits_from_int(arg + 64, 8))
+                    return np.asarray(bits, np.uint8)
+                except ValueError:
+                    pass
     bits = [0, 0, 0]  # frame type TEXT
     content = t[:12].ljust(12)
     v = 0
@@ -146,14 +213,91 @@ def unpack_payload(bits: np.ndarray) -> str | None:
     if ftype == FRAME_DIRECTED:
         c1 = message77.int_from_bits(bits[3:31])
         c2 = message77.int_from_bits(bits[31:59])
-        cmd = message77.int_from_bits(bits[59:75])
+        cmd = message77.int_from_bits(bits[59:67])
+        arg = message77.int_from_bits(bits[67:75]) - 64
         if cmd >= len(DIRECTED_CMDS):
             return None
         w1 = message77.unpack_call28(c1)
         w2 = message77.unpack_call28(c2)
         tail = f" {DIRECTED_CMDS[cmd]}" if DIRECTED_CMDS[cmd] else ""
+        if DIRECTED_CMDS[cmd] in _ARG_CMDS or (arg and DIRECTED_CMDS[cmd]):
+            tail += f" {arg}"
         return f"{w1}: {w2}{tail}"
+    if ftype == FRAME_HEARTBEAT:
+        hb = int(bits[3])
+        c1 = message77.int_from_bits(bits[4:32])
+        g15 = message77.int_from_bits(bits[32:47])
+        w1 = message77.unpack_call28(c1)
+        grid = message77.unpack_grid15(g15, 0) if g15 < message77.MAXGRID4 \
+            else ""
+        kind = "HB" if hb else "CQ"
+        return f"{w1}: {kind} {grid}".strip()
+    if ftype == FRAME_COMPOUND:
+        hb = int(bits[3])
+        call = _unpack_c58(message77.int_from_bits(bits[4:62]))
+        if not call:
+            return None
+        message77.register_call(call)
+        return f"{call}: {'HB' if hb else 'CQ'}"
     return None
+
+
+@dataclasses.dataclass(frozen=True)
+class JS8Class:
+    """Classification of one decoded JS8 text — the fields the reference
+    pulls out of js8call's DecodedText for reporting/printing
+    (OutputHandler.cpp:403-503): who sent it, whom it addresses, whether
+    it is a CQ/heartbeat, any grid, and the relay path."""
+
+    kind: str                 # "CQ" | "HB" | "DIRECTED" | "RELAY" | "TEXT"
+    from_call: str = ""
+    to_call: str = ""
+    cmd: str = ""
+    arg: int | None = None
+    grid: str = ""
+    relay_path: tuple[str, ...] = ()
+
+
+def classify(text: str) -> JS8Class:
+    """Classify a decoded JS8 message (sender extraction for spots)."""
+    from cwsl_digi_tpu.utils.hamutils import is_valid_locator
+
+    t = text.strip().upper()
+    words = t.split()
+    if not words:
+        return JS8Class(kind="TEXT")
+    # relay path: "A> B> text"
+    if words[0].endswith(">") and len(words[0]) > 1:
+        path = []
+        rest = words
+        while rest and rest[0].endswith(">") and len(rest[0]) > 1:
+            path.append(rest[0][:-1])
+            rest = rest[1:]
+        return JS8Class(kind="RELAY", from_call=path[0],
+                        relay_path=tuple(path))
+    if words[0].endswith(":") and len(words) >= 2:
+        frm = words[0][:-1]
+        rest = words[1:]
+        if rest[0] in ("CQ", "HB", "HEARTBEAT"):
+            grid = rest[1] if len(rest) > 1 and is_valid_locator(
+                rest[1]) else ""
+            kind = "CQ" if rest[0] == "CQ" else "HB"
+            return JS8Class(kind=kind, from_call=frm, grid=grid)
+        arg = None
+        cmd_words = rest[1:]
+        if (len(cmd_words) >= 2 and cmd_words[-1].lstrip("+-").isdigit()
+                and " ".join(cmd_words[:-1]) in DIRECTED_CMDS):
+            arg = int(cmd_words[-1])
+            cmd_words = cmd_words[:-1]
+        return JS8Class(kind="DIRECTED", from_call=frm, to_call=rest[0],
+                        cmd=" ".join(cmd_words), arg=arg)
+    if words[0] in ("CQ", "CQCQ") or t.startswith("CQ CQ"):
+        # bare-text CQ ("CQCQ K1ABC" / "CQ CQ CQ K1ABC EN50")
+        rest = [w for w in words if w not in ("CQ", "CQCQ")]
+        frm = rest[0] if rest else ""
+        grid = rest[1] if len(rest) > 1 and is_valid_locator(rest[1]) else ""
+        return JS8Class(kind="CQ", from_call=frm, grid=grid)
+    return JS8Class(kind="TEXT")
 
 
 def encode_message(text: str) -> np.ndarray:

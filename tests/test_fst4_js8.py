@@ -103,3 +103,41 @@ def test_fst4_published_frame_structure():
     gaps = [fst4.DATA_SYMS[i * 30:(i + 1) * 30] for i in range(4)]
     assert gaps[0][0] == 8 and gaps[0][-1] == 37
     assert gaps[3][0] == 122 and gaps[3][-1] == 151
+
+
+def test_js8_frame_grammar_roundtrips():
+    """Heartbeat/compound/directed-with-arg frames round-trip through the
+    payload codec (JS8Call's frame families, classified by the reference
+    via js8call DecodedText, OutputHandler.cpp:403-503)."""
+    from cwsl_digi_tpu.modes import js8
+
+    cases = [
+        "KN4CRD: HB EN50",
+        "KN4CRD: CQ EN50",
+        "KN4CRD: J1Y SNR -12",
+        "KN4CRD: J1Y QUERY MSGS",
+        "KN4CRD: J1Y HEARING",
+        "VE3/KN4CRD: HB",          # compound announce (c58)
+    ]
+    for text in cases:
+        out = js8.unpack_payload(js8.pack_payload(text))
+        assert out == text, (text, out)
+
+
+def test_js8_classify_and_spot():
+    from cwsl_digi_tpu.constants import Mode
+    from cwsl_digi_tpu.modes import js8
+    from cwsl_digi_tpu.modes.base import DecodeResult
+    from cwsl_digi_tpu.report.spot import extract_spot
+
+    c = js8.classify("KN4CRD: HB EN50")
+    assert c.kind == "HB" and c.from_call == "KN4CRD" and c.grid == "EN50"
+    c = js8.classify("KN4CRD: J1Y SNR -12")
+    assert c.kind == "DIRECTED" and c.to_call == "J1Y" and c.arg == -12
+    c = js8.classify("KN4CRD> VE3ABC> HELLO")
+    assert c.kind == "RELAY" and c.relay_path == ("KN4CRD", "VE3ABC")
+
+    s = extract_spot(
+        DecodeResult("KN4CRD: HB EN50", -12, 0.1, 1200.0, mode=Mode.JS8),
+        7_078_000, epoch_time=0)
+    assert s.callsign == "KN4CRD" and s.locator == "EN50"
