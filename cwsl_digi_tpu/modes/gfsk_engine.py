@@ -250,6 +250,7 @@ def decode_program(
     data_syms: jax.Array,          # [n_data] int32
     ap_mask: jax.Array | None = None,   # [H, n_code] 1=bit known (AP)
     ap_vals: jax.Array | None = None,   # [H, n_code] known bit values
+    dft_mat: jax.Array | None = None,   # [sps, 4*n_bins] DFT-as-matmul
 ):
     (n_samples,) = shapes
     b = audio.shape[0]
@@ -273,14 +274,27 @@ def decode_program(
     idx = jnp.arange(n_hops)[:, None] * hop + jnp.arange(sps)[None, :]
     frames = audio[:, idx]
 
-    def spectrogram(w, keep_complex=False):
-        x = jnp.fft.rfft(frames * w[None, None, :], n=nfft, axis=-1)
-        x = x[:, :, fmin_bin : fmin_bin + n_bins]
-        x = jnp.pad(x, ((0, 0), (spec.pad_hops, spec.pad_hops), (0, 0)))
-        return x if keep_complex else jnp.abs(x) ** 2
+    if dft_mat is not None:
+        # DFT as an MXU matmul over only the kept bins: XLA's TPU FFT
+        # lowers to a slow convolution algorithm, while a dense [sps,
+        # 4*n_bins] matmul (boxcar re/im + Hann re/im fused in one
+        # contraction) is pure systolic-array work — measured ~5x faster
+        # for FT8-sized frames on v5e.  Long FST4 modes keep the FFT
+        # (their DFT matrix would not fit; see GFSKDecoder._dft_mat).
+        four = frames.reshape(b * n_hops, sps) @ dft_mat
+        four = four.reshape(b, n_hops, 4, n_bins)
+        pad = ((0, 0), (spec.pad_hops, spec.pad_hops), (0, 0))
+        power_sync = jnp.pad(four[:, :, 2] ** 2 + four[:, :, 3] ** 2, pad)
+        stft = jnp.pad(jax.lax.complex(four[:, :, 0], four[:, :, 1]), pad)
+    else:
+        def spectrogram(w, keep_complex=False):
+            x = jnp.fft.rfft(frames * w[None, None, :], n=nfft, axis=-1)
+            x = x[:, :, fmin_bin : fmin_bin + n_bins]
+            x = jnp.pad(x, ((0, 0), (spec.pad_hops, spec.pad_hops), (0, 0)))
+            return x if keep_complex else jnp.abs(x) ** 2
 
-    power_sync = spectrogram(window)
-    stft = spectrogram(jnp.ones((sps,), jnp.float32), keep_complex=True)
+        power_sync = spectrogram(window)
+        stft = spectrogram(jnp.ones((sps,), jnp.float32), keep_complex=True)
 
     # --- 2. sync correlation ----------------------------------------------
     n_t0 = spec.max_hops
@@ -502,6 +516,7 @@ class GFSKDecoder:
         self._crc_mat = crc_matrix.astype(np.float32)
         self._bitmaps = spec.bitmaps()
         self._window = np.hanning(spec.sps).astype(np.float32)
+        self._dft_mat = self._make_dft_mat()
         self._data_syms = np.asarray(spec.data_syms, np.int32)
         # a-priori hypotheses: [H, n_payload] with -1 = unknown, 0/1 = known
         self._ap_mask = None
@@ -533,6 +548,27 @@ class GFSKDecoder:
     # at the fine grid costs ~15 MB of device scratch per window, so a
     # 500-channel batch would not fit HBM in one program).
     MAX_DEVICE_BATCH = 64
+
+    # largest DFT-as-matmul matrix worth materializing (f32 bytes); above
+    # this (long FST4 variants) the rfft path is cheaper than the HBM cost
+    DFT_MAT_BYTES_MAX = 128 << 20
+
+    def _make_dft_mat(self) -> np.ndarray | None:
+        """[sps, 4*n_bins] matrix computing boxcar+Hann DFTs over the kept
+        bins in one MXU contraction (see decode_program); None when the
+        matrix would blow the HBM budget (long FST4 modes -> rfft path)."""
+        spec = self.spec
+        fmin_bin = int(spec.fmin_hz / spec.bin_hz)
+        fmax_bin = int(np.ceil(spec.fmax_hz / spec.bin_hz)) + 1
+        n_bins = fmax_bin - fmin_bin + spec.os_f * spec.n_tones
+        if spec.sps * 4 * n_bins * 4 > self.DFT_MAT_BYTES_MAX:
+            return None
+        k = fmin_bin + np.arange(n_bins)
+        ang = -2.0 * np.pi * np.outer(np.arange(spec.sps), k) / spec.nfft
+        dre, dim = np.cos(ang), np.sin(ang)
+        w = self._window.astype(np.float64)[:, None]
+        return np.concatenate(
+            [dre, dim, w * dre, w * dim], axis=1).astype(np.float32)
 
     def decode_arrays(self, audio) -> dict[str, np.ndarray]:
         """Host-facing decode: ONE device->host fetch per device batch.
@@ -589,6 +625,7 @@ class GFSKDecoder:
                 self.spec, (chunk.shape[1],), chunk,
                 self._crc_mat, self._bitmaps, self._window, self.bp,
                 self._data_syms, self._ap_mask, self._ap_vals,
+                self._dft_mat_dev,
             )
             chunks.append({k: v[:c] for k, v in out.items()})
         if len(chunks) == 1:
@@ -692,6 +729,12 @@ class GFSKDecoder:
     def _gen_parity_f32(self) -> np.ndarray:
         return np.asarray(self.bp.code.gen_parity, np.float32)
 
+    @functools.cached_property
+    def _dft_mat_dev(self) -> jax.Array | None:
+        # uploaded ONCE: as a numpy argument it would re-transfer its
+        # tens of MB on every decode_program call
+        return None if self._dft_mat is None else jnp.asarray(self._dft_mat)
+
     def _subtract(self, audio: np.ndarray, info: np.ndarray,
                   t0_hop: int, f0_bin: int) -> None:
         """Subtract one decoded burst in place (host oracle; the production
@@ -732,20 +775,27 @@ class GFSKDecoder:
             c = (seg.reshape(-1, sps) * np.conj(zc.reshape(-1, sps))).sum(1)
             return seg, inb, zc, c
 
-        for _ in range(2):
-            _, _, _, c = corr(start, df_tot)
-            p = c[1:] * np.conj(c[:-1])
-            if same.any():
-                df = np.angle(np.sum(p * same)) / (2.0 * np.pi * sps / WAVE_SR)
-                if abs(df) < spec.bin_hz:
-                    df_tot += df
-            _, _, _, c = corr(start, df_tot)
-            p = c[1:] * np.conj(c[:-1])
-            w = np.abs(p) * sel
-            den = 2.0 * np.pi * spec.tone_spacing * np.sum(w * dtone * dtone)
-            if den > 0:
-                dt = np.sum(w * np.angle(p) * dtone) / den
-                start -= int(np.clip(round(dt * WAVE_SR), -sps, sps))
+        # schedule matches the device scan (modes/subtract.py): df1 from
+        # same-tone pairs, dt from tone-change pairs (df1 removed
+        # analytically), re-extract at the shifted start, df2 touch-up.
+        _, _, _, c = corr(start, df_tot)
+        p = c[1:] * np.conj(c[:-1])
+        if same.any():
+            df = np.angle(np.sum(p * same)) / (2.0 * np.pi * sps / WAVE_SR)
+            if abs(df) < spec.bin_hz:
+                df_tot += df
+        th = np.angle(p * np.exp(-2j * np.pi * df_tot * sps / WAVE_SR))
+        w = np.abs(p) * sel
+        den = 2.0 * np.pi * spec.tone_spacing * np.sum(w * dtone * dtone)
+        if den > 0:
+            dt = np.sum(w * th * dtone) / den
+            start -= int(np.clip(round(dt * WAVE_SR), -(sps - 1), sps - 1))
+        _, _, _, c = corr(start, df_tot)
+        p = c[1:] * np.conj(c[:-1])
+        if same.any():
+            df = np.angle(np.sum(p * same)) / (2.0 * np.pi * sps / WAVE_SR)
+            if abs(df) < spec.bin_hz:
+                df_tot += df
 
         seg, inb, zc, _ = corr(start, df_tot)
         denom = float(inb.sum())
