@@ -86,11 +86,15 @@ def _make_busy_windows(batch: int = 24, per_window: int = 6, seed: int = 5):
     return wins
 
 
-def _bench_decode_production(batch: int = 24):
-    """Wall time per window of the full decode() path on a busy band."""
+def _bench_decode_production(batch: int | None = None):
+    """Wall time per window of the full decode() path on a busy band.
+
+    Batch defaults to the decoder's full device chunk — the operating
+    point of a loaded skimmer (hundreds of channels -> full batches)."""
     from cwsl_digi_tpu.modes import ft8
 
     dec = ft8.FT8Decoder()
+    batch = batch or dec.max_device_batch
     wins = _make_busy_windows(batch)
     res = dec.decode(wins)                                # compile + warm
     n_decoded = sum(len(r) for r in res)

@@ -47,8 +47,53 @@ class ShardedSkimStep:
     def _sharding(self):
         return NamedSharding(self.mesh, P(self.axis))
 
+    @property
+    def _multihost(self) -> bool:
+        return len(self.mesh.devices.flat) > len(
+            [d for d in self.mesh.devices.flat
+             if d.process_index == jax.process_index()])
+
+    def _put(self, arr, sharding):
+        """Place a host array under a (possibly process-spanning) sharding.
+
+        Single-host: plain device_put.  Multi-host (jax.distributed over a
+        global mesh): every process holds the same logical array and
+        contributes its addressable shards via make_array_from_callback —
+        the SPMD idiom for DCN-spanning meshes."""
+        arr = np.asarray(arr)
+        if not self._multihost:
+            return jax.device_put(arr, sharding)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx])
+
+    def _fetch(self, v) -> np.ndarray:
+        """Global array -> this process's rows (all rows on single host)."""
+        if not self._multihost:
+            return np.asarray(v)
+        shards = sorted(v.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards])
+
+    @property
+    def local_channels(self) -> list[int]:
+        """Channel indices this process's decode outputs correspond to."""
+        if not self._multihost:
+            return list(range(self.n_channels))
+        sh = self._sharding()
+        out = []
+        for sl in sorted(
+                {idx[0] for d, idx in sh.addressable_devices_indices_map(
+                    (self.n_channels,)).items()},
+                key=lambda s: s.start or 0):
+            out.extend(range(sl.start or 0, sl.stop))
+        return out
+
     def step(self, iq: np.ndarray) -> dict[str, np.ndarray]:
-        """One capture window of wideband IQ -> decode outputs per channel."""
+        """One capture window of wideband IQ -> decode outputs per channel.
+
+        On a multi-process mesh, the returned arrays cover this process's
+        ``local_channels`` (each host reports the channels it owns — the
+        reference's per-host skimmer model over DCN)."""
         iq = np.asarray(iq)
         sh = self._sharding()
         rep = NamedSharding(self.mesh, P())
@@ -62,23 +107,23 @@ class ShardedSkimStep:
         n_audio = t // chan.spec.block_size
 
         dec = self.dec
+        state_sh = {"hist_re": sh, "hist_im": sh,
+                    "phasor_re": sh, "phasor_im": sh, "out_phase": rep}
         out = _skim_program(
             chan.spec, dec.spec, (n_audio,), self.mesh, self.axis, dec.bp,
-            jax.device_put(jnp.asarray(iq_re), rep),
-            jax.device_put(jnp.asarray(iq_im), rep),
-            jax.device_put(chan.tone_re, sh),
-            jax.device_put(chan.tone_im, sh),
-            rot_re, rot_im, step_re, step_im,
-            chan.segs,
-            jax.device_put(chan.init_state(), {
-                "hist_re": sh, "hist_im": sh,
-                "phasor_re": sh, "phasor_im": sh,
-                "out_phase": rep,
-            }),
-            jnp.asarray(dec._crc_mat), jnp.asarray(dec._bitmaps),
-            jnp.asarray(dec._window), jnp.asarray(dec._data_syms),
+            self._put(iq_re, rep),
+            self._put(iq_im, rep),
+            self._put(np.asarray(chan.tone_re), sh),
+            self._put(np.asarray(chan.tone_im), sh),
+            self._put(np.asarray(rot_re), rep), self._put(np.asarray(rot_im), rep),
+            self._put(np.asarray(step_re), rep), self._put(np.asarray(step_im), rep),
+            self._put(np.asarray(chan.segs), rep),
+            {k: self._put(np.asarray(v), state_sh[k])
+             for k, v in chan.init_state().items()},
+            self._put(dec._crc_mat, rep), self._put(dec._bitmaps, rep),
+            self._put(dec._window, rep), self._put(dec._data_syms, rep),
         )
-        return {k: np.asarray(v) for k, v in out.items()}
+        return {k: self._fetch(v) for k, v in out.items()}
 
     def decode_window(self, iq: np.ndarray) -> list[list[ft8.DecodeResult]]:
         """Full host-level result: channelize + decode + unpack messages.
