@@ -123,6 +123,7 @@ def make_spec(mode: Mode) -> ModeSpec:
         fmax_hz=fmax,
         top_k=48 if fine else 32,
         bp_iters=60,
+        snr_offset_db=0.6,   # calibrated vs injected SNR (tools/snr_check.py)
         max_hops=max_hops,
         pad_hops=pad_hops,
         os_t=8 if fine else 4,

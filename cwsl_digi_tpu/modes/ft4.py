@@ -60,6 +60,7 @@ SPEC = ModeSpec(
     signal_start_s=0.5,
     top_k=192,
     bp_iters=30,
+    snr_offset_db=-1.0,   # calibrated vs injected SNR (tools/snr_check.py)
     max_hops=320,     # dt search -0.77..+1.15 s (6 ms hops at os_t=8)
     pad_hops=128,
     os_t=8,

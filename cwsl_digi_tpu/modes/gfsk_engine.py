@@ -81,6 +81,7 @@ class ModeSpec:
     osd_nhard_max: int = 42       # acceptance gates (calibrated: see
     osd_dist_frac: float = 0.12   # tools/osd_calibrate.py)
     osd_post: bool = True         # order bits by BP posteriors (vs channel)
+    snr_offset_db: float = 0.0    # per-mode SNR calibration (tools/snr_check)
 
     @property
     def hop(self) -> int:
@@ -450,7 +451,8 @@ def decode_program(
     # (median-vs-mean noise statistic + window scalloping), validated at
     # +5..-18 dB to within ~0.5 dB
     snr = 10.0 * jnp.log10((sig + 1e-30) / (noise[:, None] + 1e-30)) \
-        - 10.0 * np.float32(np.log10(2500.0 / spec.tone_spacing)) - 0.6
+        - 10.0 * np.float32(np.log10(2500.0 / spec.tone_spacing)) - 0.6 \
+        + np.float32(spec.snr_offset_db)
 
     return {
         "valid": valid,

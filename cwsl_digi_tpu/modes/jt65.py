@@ -77,6 +77,7 @@ SPEC = QarySpec(
     signal_start_s=1.0,
     fmin_hz=400.0,
     fmax_hz=2000.0,
+    snr_offset_db=-1.5,  # calibrated vs injected SNR (tools/snr_check.py)
     top_k=24,
     max_hops=128,
     pad_hops=64,

@@ -63,6 +63,7 @@ SPEC = QarySpec(
     signal_start_s=0.5,
     fmin_hz=400.0,
     fmax_hz=2200.0,
+    snr_offset_db=-1.6,  # calibrated vs injected SNR (tools/snr_check.py)
     top_k=24,
     max_hops=128,
     pad_hops=64,

@@ -41,6 +41,7 @@ class QarySpec:
     os_f: int = 4                # nfft / sps (freq oversampling; tone = os_f bins)
     full_e: bool = False         # also return full per-tone energies (for
                                  # the q-ary message-passing decode path)
+    snr_offset_db: float = 0.0   # per-mode SNR calibration (tools/snr_check)
 
     @property
     def hop(self) -> int:
@@ -116,7 +117,8 @@ def qary_decode_program(spec: QarySpec, shapes, audio, window,
     noise = jnp.median(power_sync, axis=(1, 2))
     sig = top_val * base[:, :, 0] / len(spec.sync_syms)
     snr = 10.0 * jnp.log10((sig + 1e-30) / (noise[:, None] + 1e-30)) \
-        - 10.0 * np.float32(np.log10(2500.0 / spec.tone_spacing))
+        - 10.0 * np.float32(np.log10(2500.0 / spec.tone_spacing)) \
+        + np.float32(spec.snr_offset_db)
 
     out = {
         "symbols": top_tone[..., 0].astype(jnp.int32),  # hard GF(64) values

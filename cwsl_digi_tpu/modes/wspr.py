@@ -404,8 +404,9 @@ def _decode_program(cfg: WSPRConfig, shapes, audio, sync, deinter, window):
 
     noise = jnp.median(power_sync, axis=(1, 2))
     sig = jnp.abs(top_val) * base[:, :, 0] / NSYM
+    # +1.8 dB: calibration vs injected signals of known SNR (tools/snr_check)
     snr = 10.0 * jnp.log10((sig + 1e-30) / (noise[:, None] + 1e-30)) \
-        - 10.0 * np.float32(np.log10(2500.0 / TONE_SPACING))
+        - 10.0 * np.float32(np.log10(2500.0 / TONE_SPACING)) + 1.8
 
     return {
         "bits": bits,             # [B, K, 50]

@@ -173,3 +173,19 @@ def test_contest_spot_extraction():
     assert s.callsign == "KH1/KH7Z" or s.callsign == "W9XYZ"
     s = spot("<G4ABC> <PA9XYZ> R 570007 JO22DB")
     assert s.callsign == "PA9XYZ" and s.locator == "JO22DB"
+
+
+def test_snr_estimator_matches_injected():
+    """Reported SNR must match the injected WSJT-X-convention SNR to ~1 dB
+    (reference forwards jt9 SNRs verbatim to the reporters,
+    OutputHandler.cpp:505-621).  Full per-mode sweep: tools/snr_check.py."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent / "tools"))
+    from snr_check import measure
+
+    for mode in ("FT8", "FT4"):
+        errs = measure(mode, trials=4, snrs=(-10.0,))
+        assert len(errs) >= 3, mode
+        assert abs(float(errs.mean())) < 0.8, (mode, errs)
