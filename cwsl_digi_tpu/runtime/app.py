@@ -280,14 +280,24 @@ class App:
             now = time.monotonic()
             if self.max_runtime_s and now - started > self.max_runtime_s:
                 break
-            # reap stopped receivers (reference: CWSL_DIGI.cpp:1206-1216)
-            for spec, rx in list(self.receivers.items()):
-                if rx.get_status() == Status.STOPPED:
-                    self.printer.warn(f"receiver {spec} stopped — reaping")
-                    rx.terminate()
-                    del self.receivers[spec]
+            self._reap_dead_receivers()
             sched.run_once()
         self.cleanup()
+
+    def _reap_dead_receivers(self) -> None:
+        """Reap STOPPED receivers (reference: CWSL_DIGI.cpp:1206-1216), and
+        FINISHED receivers of LIVE sources so the 10 s re-attach cadence
+        rebuilds them (the reference re-setups FINISHED decoders,
+        CWSL_DIGI.cpp:1217-1226 — band-rotation support).  A FINISHED file
+        replay is terminal: rebuilding it would replay the file forever."""
+        for spec, rx in list(self.receivers.items()):
+            status = rx.get_status()
+            live = spec.startswith(("shm:", "tcp:"))
+            if status == Status.STOPPED or (
+                    status == Status.FINISHED and live):
+                self.printer.warn(f"receiver {spec} {status.value} — reaping")
+                rx.terminate()
+                del self.receivers[spec]
 
     def _rbn_status(self) -> None:
         entries = [

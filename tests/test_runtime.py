@@ -282,3 +282,38 @@ def test_receiver_pallas_backend_matches_xla():
     n = min(buffers["xla"][0], buffers["pallas"][0])
     np.testing.assert_allclose(buffers["xla"][1][:, :n],
                                buffers["pallas"][1][:, :n], atol=2e-3)
+
+
+def test_app_reaps_finished_live_receivers():
+    """FINISHED receivers of LIVE sources are reaped so the re-attach
+    cadence rebuilds them (reference re-setups FINISHED decoders every
+    ~10 s, CWSL_DIGI.cpp:1217-1226); a FINISHED file replay is terminal."""
+    from cwsl_digi_tpu.config import default_config
+    from cwsl_digi_tpu.runtime.app import App
+
+    class _Rx:
+        def __init__(self, status):
+            self._s = status
+            self.terminated = False
+
+        def get_status(self):
+            return self._s
+
+        def terminate(self):
+            self.terminated = True
+
+    app = App.__new__(App)
+    app.receivers = {
+        "shm:CWSL0Band": _Rx(Status.FINISHED),
+        "tcp:1.2.3.4:5000": _Rx(Status.STOPPED),
+        "file:/tmp/x.npy": _Rx(Status.FINISHED),
+        "synthetic:": _Rx(Status.RUNNING),
+    }
+
+    class _P:
+        def warn(self, *_a, **_k):
+            pass
+
+    app.printer = _P()
+    app._reap_dead_receivers()
+    assert set(app.receivers) == {"file:/tmp/x.npy", "synthetic:"}

@@ -55,8 +55,10 @@ SWEEPS: dict[str, dict] = {
                  f0=(700.0, 1800.0), dt=(0.5, 1.5)),
     "Q65-30": dict(snrs=(-18, -21, -23, -24, -25, -26),
                    f0=(700.0, 1800.0), dt=(0.3, 1.0)),
+    # FST4 search band follows the reference's jt9 invocation: 900-1100 Hz
+    # for 60/120 s (source/DecoderPool.hpp:490-534)
     "FST4-60": dict(snrs=(-18, -21, -23, -24, -25),
-                    f0=(700.0, 1300.0), dt=(0.5, 1.5)),
+                    f0=(910.0, 1090.0), dt=(0.5, 1.5)),
     "FST4W-120": dict(snrs=(-24, -27, -29, -30, -31, -32),
                       f0=(1430.0, 1570.0), dt=(0.5, 1.5)),
     "JS8": dict(snrs=(-12, -16, -18, -20, -21),
