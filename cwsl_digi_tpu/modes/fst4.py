@@ -97,9 +97,11 @@ def make_spec(mode: Mode) -> ModeSpec:
         fmin, fmax = 900.0, 1100.0
     else:
         fmin, fmax = 300.0, 2400.0
-    # keep the candidate grid small for very long symbols
-    max_hops = 64 if period <= 120 else 32
-    pad_hops = 32 if period <= 120 else 16
+    # candidate grid: 60/120 s periods see real dt spreads past +1.3 s
+    # (windows are rare, the fine grid is cheap), very long symbols keep
+    # a small grid
+    max_hops = 96 if period <= 120 else 32
+    pad_hops = 48 if period <= 120 else 16
     # The slow modes decode rarely (one window per 1-30 min), so they can
     # afford a much finer search than FT8: 8x time / 4x freq oversampling
     # halves the worst-case sub-bin frequency error (+-1/8 tone spacing),
