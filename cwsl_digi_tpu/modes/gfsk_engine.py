@@ -343,10 +343,36 @@ def decode_program(
     # energies is worth ~1.5 dB at the decode threshold (the jt9 decoder's
     # nsym=1/2/3 metrics); sync-adjacent data symbols additionally
     # constrain the neighbor tone to the known sync tone.
-    sym_hops = t0[:, :, None] + spec.os_t * jnp.arange(spec.n_sym, dtype=jnp.int32)[None, None, :]
-    tone_bins = f0[:, :, None] + spec.os_f * jnp.arange(spec.n_tones, dtype=jnp.int32)[None, None, :]
-    bb = jnp.arange(b)[:, None, None, None]
-    csym = stft[bb, sym_hops[:, :, :, None], tone_bins[:, :, None, :]]
+    # Candidate (t0, f0) needs stft[t0 + os_t*s, f0 + os_f*j] for all
+    # (symbol s, tone j) — a STRIDED 2D block.  A naive fancy-index gather
+    # loads 15M scalars at random addresses (measured 11.5 ms/window on
+    # v5e); instead re-layout the spectrogram so the strides become unit:
+    # split hop = q*os_t + rt and bin = p*os_f + rf, move (rt, rf) to
+    # leading axes, and each candidate's block is the CONTIGUOUS slice
+    # [q : q+n_sym, p : p+n_tones] of plane (rt, rf).  One vmapped
+    # dynamic_slice then fetches 79x8 blocks instead of scalars
+    # (measured ~20x faster).
+    n_hops_tot = power_sync.shape[1]
+    hq = -(-n_hops_tot // spec.os_t)
+    fq = -(-stft.shape[2] // spec.os_f)
+    stft_r = jnp.pad(stft, ((0, 0), (0, hq * spec.os_t - n_hops_tot),
+                            (0, fq * spec.os_f - stft.shape[2])))
+    stft_r = stft_r.reshape(b, hq, spec.os_t, fq, spec.os_f)
+    # hop axis LAST: each gathered block row is then n_sym contiguous
+    # complex values (~half a KB DMA transfer) instead of n_tones (64 B)
+    stft_r = stft_r.transpose(0, 2, 4, 3, 1)   # [b, os_t, os_f, fq, hq]
+
+    def slice_block(planes, tt, ff):
+        # planes: [os_t, os_f, fq, hq]; block gather of one candidate
+        blk = jax.lax.dynamic_slice(
+            planes, (tt % spec.os_t, ff % spec.os_f,
+                     ff // spec.os_f, tt // spec.os_t),
+            (1, 1, spec.n_tones, spec.n_sym))
+        return blk[0, 0]
+
+    csym = jax.vmap(jax.vmap(slice_block, in_axes=(None, 0, 0)))(
+        stft_r, t0, f0)
+    csym = csym.transpose(0, 1, 3, 2)
     # [B, K, n_sym, n_tones] complex64
     abs_bin = (f0 + fmin_bin).astype(jnp.float32)
     rot = jnp.exp(-2j * jnp.pi * abs_bin / spec.os_f)            # [B, K]

@@ -243,26 +243,29 @@ class BPDecoder:
         soft input the OSD fallback pass reorders bits by."""
         b = llrs.shape[0]
         n, nc, mr = self.t.n, self.t.n_checks, self.t.max_row
+        mc = self.t.max_col
         row_cols = jnp.asarray(self._row_cols)
         row_mask = jnp.asarray(self._row_mask)
+        col_slots = jnp.asarray(self._col_slots)
+        col_mask = jnp.asarray(self._col_mask)
         big = jnp.float32(1e9)
 
-        # pad a zero-LLR virtual variable at index n for padded slots
-        def pad(x):
-            return jnp.concatenate([x, jnp.zeros((b, 1), x.dtype)], axis=1)
+        def var_totals(m_cv):
+            # var totals: channel LLR + sum of incoming check messages.
+            # GATHER formulation (each var pulls its <=max_col incoming
+            # slots) — a scatter-add here serializes on TPU.
+            flat = m_cv.reshape(b, nc * mr)
+            inc = jnp.take(flat, col_slots.reshape(-1), axis=1)
+            inc = (inc.reshape(b, n, mc) * col_mask[None]).sum(-1)
+            t = llrs + inc
+            # pad a zero virtual variable at index n for padded row slots
+            return jnp.concatenate([t, jnp.zeros((b, 1), t.dtype)], axis=1)
 
         # check->var messages, [b, nc, mr]
         m_cv = jnp.zeros((b, nc, mr), jnp.float32)
 
         def body(_, m_cv):
-            # var totals: channel LLR + sum of incoming check messages
-            totals = jnp.zeros((b, n + 1), jnp.float32)
-            totals = totals.at[:, :n].set(llrs)
-            flat = m_cv.reshape(b, nc * mr)
-            # scatter-add: each (check,slot) contributes to its var
-            totals = totals.at[:, row_cols.reshape(-1)].add(
-                flat * row_mask.reshape(-1)[None, :]
-            )
+            totals = var_totals(m_cv)
             # var->check messages: total minus own incoming
             v_tot = jnp.take(totals, row_cols, axis=1)          # [b, nc, mr]
             m_vc = (v_tot - m_cv) * row_mask[None]
@@ -287,12 +290,7 @@ class BPDecoder:
         m_cv = jax.lax.fori_loop(0, self.iters, body, m_cv)
 
         # final totals
-        totals = jnp.zeros((b, n + 1), jnp.float32)
-        totals = totals.at[:, :n].set(llrs)
-        flat = m_cv.reshape(b, nc * mr)
-        totals = totals.at[:, row_cols.reshape(-1)].add(
-            flat * row_mask.reshape(-1)[None, :]
-        )
+        totals = var_totals(m_cv)
         hard = (totals[:, :n] < 0).astype(jnp.int8)   # LLR<0 -> bit 1
         syn = jnp.mod(
             jnp.dot(hard.astype(jnp.float32), self._h.T,

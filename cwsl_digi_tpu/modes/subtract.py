@@ -94,18 +94,28 @@ def subtract_known(spec, audio, params, gen_parity):
                           jnp.float32)
     u_all = jnp.arange(S, dtype=jnp.int32)[None, :]
     r_sps = jnp.arange(sps, dtype=jnp.int32)
-    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
     hmod = spec.tone_spacing / WAVE_SR
     t_sym = sps / WAVE_SR
 
+    # The residual carries `margin` zero blocks on each side so that burst
+    # extraction / write-back are plain vmapped dynamic slices (contiguous
+    # block windows) instead of take_along_axis / 3D scatter — generic
+    # gathers and scatters on [B, 150k] arrays are the slowest thing a TPU
+    # can do (measured 15.6 ms/window; slices ~1 ms).  Writes into the
+    # margin are always zero (`sub` is masked to the unpadded window), so
+    # the margin stays zero across scan steps and extraction through it
+    # reproduces the old out-of-range zeroing exactly.
+    margin = n_blk_seg
+    nb_pad = nb + 2 * margin
     res0 = jnp.pad(audio, ((0, 0), (0, t_pad_len - T))).reshape(B, nb, hop)
+    res0 = jnp.pad(res0, ((0, 0), (margin, margin), (0, 0)))
 
     def extract(res, blk0):
-        bidx = blk0[:, None] + jnp.arange(n_blk_seg, dtype=jnp.int32)[None]
-        bidxc = jnp.clip(bidx, 0, nb - 1)
-        seg = jnp.take_along_axis(res, bidxc[:, :, None], axis=1)
-        ok_blk = ((bidx >= 0) & (bidx < nb)).astype(jnp.float32)
-        return (seg * ok_blk[:, :, None]).reshape(B, S), bidxc
+        m = jnp.clip(blk0 + margin, 0, nb_pad - n_blk_seg)
+        seg = jax.vmap(
+            lambda r, mm: jax.lax.dynamic_slice(r, (mm, 0), (n_blk_seg, hop))
+        )(res, m)
+        return seg.reshape(B, S), m
 
     def synth(t_pad, fine, f_hz):
         """Reference cos/sin on the block-aligned grid: burst begins at
@@ -206,12 +216,15 @@ def subtract_known(spec, audio, params, gen_parity):
             * ok.astype(jnp.float32)[:, None]
         pos = blk1[:, None] * hop + u_all
         sub = sub * ((pos >= 0) & (pos < T)).astype(jnp.float32)
-        res = res.at[rows[:, :, None], bidx1[:, :, None],
-                     jnp.arange(hop)[None, None, :]].add(
-            -sub.reshape(B, n_blk_seg, hop))
+
+        def wb(r, mm, s):
+            cur = jax.lax.dynamic_slice(r, (mm, 0), (n_blk_seg, hop))
+            return jax.lax.dynamic_update_slice(r, cur - s, (mm, 0))
+
+        res = jax.vmap(wb)(res, bidx1, sub.reshape(B, n_blk_seg, hop))
         return res, None
 
     xs = (jnp.moveaxis(infos, 1, 0), jnp.moveaxis(t0_hops, 1, 0),
           jnp.moveaxis(f0_bins, 1, 0), jnp.moveaxis(valid, 1, 0))
     res, _ = jax.lax.scan(step, res0, xs)
-    return res.reshape(B, t_pad_len)[:, :T]
+    return res[:, margin : margin + nb].reshape(B, t_pad_len)[:, :T]

@@ -68,6 +68,10 @@ decodesfile={tmp_path}/decodes.txt
         return s
 
     app.spots.handle = capture
+    # compile the decode programs BEFORE the real-time clock starts: a cold
+    # persistent cache spends minutes in XLA, which would eat the replay
+    # deadline (App.run re-invokes warmup, hitting the now-warm jit cache)
+    app.warmup()
 
     import threading
 
@@ -144,6 +148,7 @@ logimmediately=true
         return s
 
     app.spots.handle = capture
+    app.warmup()        # see test_app_multi_mode_end_to_end: cold-cache guard
     import threading
 
     t = threading.Thread(target=app.run, daemon=True)
