@@ -280,19 +280,31 @@ def decode_program(
         # lowers to a slow convolution algorithm, while a dense [sps,
         # 4*n_bins] matmul (boxcar re/im + Hann re/im fused in one
         # contraction) is pure systolic-array work — measured ~5x faster
-        # for FT8-sized frames on v5e.  Long FST4 modes keep the FFT
-        # (their DFT matrix would not fit; see GFSKDecoder._dft_mat).
-        four = frames.reshape(b * n_hops, sps) @ dft_mat
+        # for FT8-sized frames on v5e.  bf16 inputs with f32 accumulation
+        # double the MXU rate; the 0.4% input quantization sits ~48 dB
+        # below the noise floor, invisible at any decodable SNR.  Long
+        # FST4 modes keep the FFT (their DFT matrix would not fit; see
+        # GFSKDecoder._dft_mat).
+        four = jnp.einsum(
+            "is,sj->ij",
+            frames.reshape(b * n_hops, sps).astype(jnp.bfloat16),
+            dft_mat.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
         four = four.reshape(b, n_hops, 4, n_bins)
         pad = ((0, 0), (spec.pad_hops, spec.pad_hops), (0, 0))
-        power_sync = jnp.pad(four[:, :, 2] ** 2 + four[:, :, 3] ** 2, pad)
+        # bf16 sync spectrogram: the 21-cell accumulation below is pure HBM
+        # bandwidth; half-width cells halve it (ranking scores tolerate the
+        # 0.4% relative quantization with orders of magnitude to spare)
+        power_sync = jnp.pad(four[:, :, 2] ** 2 + four[:, :, 3] ** 2,
+                             pad).astype(jnp.bfloat16)
         stft = jnp.pad(jax.lax.complex(four[:, :, 0], four[:, :, 1]), pad)
     else:
         def spectrogram(w, keep_complex=False):
             x = jnp.fft.rfft(frames * w[None, None, :], n=nfft, axis=-1)
             x = x[:, :, fmin_bin : fmin_bin + n_bins]
             x = jnp.pad(x, ((0, 0), (spec.pad_hops, spec.pad_hops), (0, 0)))
-            return x if keep_complex else jnp.abs(x) ** 2
+            return x if keep_complex else (
+                jnp.abs(x) ** 2).astype(jnp.bfloat16)
 
         power_sync = spectrogram(window)
         stft = spectrogram(jnp.ones((sps,), jnp.float32), keep_complex=True)
@@ -304,13 +316,15 @@ def decode_program(
     for sym, tone in spec.sync_cells:
         h0, b0 = spec.os_t * sym, spec.os_f * tone
         acc = acc + jax.lax.slice(power_sync, (0, h0, b0),
-                                  (b, h0 + n_t0, b0 + n_f0))
+                                  (b, h0 + n_t0, b0 + n_f0)
+                                  ).astype(jnp.float32)
     # normalization statistics over the REAL (unpadded) spectrogram rows,
     # so the pad fraction (which varies per mode) cannot bias the score or
     # the SNR estimate
     real_rows = jax.lax.slice(
         power_sync, (0, spec.pad_hops, 0),
-        (b, spec.pad_hops + n_hops, power_sync.shape[2]))
+        (b, spec.pad_hops + n_hops, power_sync.shape[2])
+    ).astype(jnp.float32)
     base = jnp.mean(real_rows, axis=(1, 2), keepdims=True) * len(spec.sync_cells)
     score = acc / (base + 1e-30)
 
@@ -470,7 +484,10 @@ def decode_program(
     # mean sync-cell power = signal + average cell noise; subtract the noise
     # term (score units: top_val ~= (S+N)/N_mean, so S/N_mean = top_val - 1)
     # and reference to 2.5 kHz like every reference-reported SNR.
-    noise = jnp.median(real_rows, axis=(1, 2))
+    # The noise floor is a median over a 4x4-subsampled grid: a full median
+    # sorts ~1.4 M cells/window on device for a statistic whose estimator
+    # noise is identical at 1/16 the samples.
+    noise = jnp.median(real_rows[:, ::4, ::4], axis=(1, 2))
     mean_cell = base[:, :, 0] / len(spec.sync_cells)
     sig = jnp.maximum(top_val - 1.0, 0.01) * mean_cell
     # -0.6 dB: empirical calibration against injected signals of known SNR
@@ -488,6 +505,72 @@ def decode_program(
         "score": top_val,
         "snr": snr,
     }
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def select_subtract_params(m_max: int, payload, valid, score, t0_hop,
+                           f0_bin, hash_w):
+    """Device-side pick of up to ``m_max`` unique valid decodes per window.
+
+    Replaces the host argwhere+dict loop between subtraction passes (which
+    cost a full device->host fetch per pass, ~250 ms over a tunneled chip).
+    Uniqueness is by a 31-bit payload hash (collision odds ~K^2/2^32 per
+    window — a collision only skips one burst's subtraction); ties keep the
+    highest sync score, matching the host path's best-duplicate rule.
+
+    Returns the packed int32 params tensor subtract_known consumes:
+    [B, m_max, n_info + 3] = [info bits | t0_hop | f0_bin | valid].
+    """
+    b = payload.shape[0]
+    info = payload.astype(jnp.int32)
+    h = jnp.einsum("bki,i->bk", info, hash_w,
+                   preferred_element_type=jnp.int32)
+    key_h = jnp.where(valid, h, jnp.iinfo(jnp.int32).max)
+    # stable two-key sort: hash ascending, then score descending
+    order = jnp.lexsort((-score, key_h), axis=-1)
+    hs = jnp.take_along_axis(key_h, order, axis=-1)
+    vs = jnp.take_along_axis(valid, order, axis=-1)
+    ss = jnp.take_along_axis(score, order, axis=-1)
+    first = jnp.concatenate(
+        [jnp.ones((b, 1), bool), hs[:, 1:] != hs[:, :-1]], axis=1)
+    uniq = vs & first
+    _, sel = jax.lax.top_k(jnp.where(uniq, ss, -jnp.inf), m_max)
+    idx = jnp.take_along_axis(order, sel, axis=-1)          # [b, m_max]
+    okflag = jnp.take_along_axis(uniq, sel, axis=-1)
+    gi = jnp.take_along_axis(info, idx[:, :, None], axis=1)
+    gt = jnp.take_along_axis(t0_hop.astype(jnp.int32), idx, axis=1)
+    gf = jnp.take_along_axis(f0_bin.astype(jnp.int32), idx, axis=1)
+    return jnp.concatenate(
+        [gi, gt[:, :, None], gf[:, :, None],
+         okflag.astype(jnp.int32)[:, :, None]], axis=-1)
+
+
+def _merge_outs(outs):
+    if len(outs) == 1:
+        return outs[0]
+    return {key: jnp.concatenate([o[key] for o in outs], axis=1)
+            for key in outs[0]}
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _select_and_subtract(spec, sub_max, audio, outs, hash_w, gen_parity):
+    """One dispatch for merge + select + subtract between decode passes
+    (each separate dispatch costs ~25 ms round trip over a tunneled chip)."""
+    from cwsl_digi_tpu.modes.subtract import subtract_known
+
+    merged = _merge_outs(outs)
+    params = select_subtract_params(
+        sub_max, merged["payload"], merged["valid"], merged["score"],
+        merged["t0_hop"], merged["f0_bin"], hash_w)
+    return subtract_known(spec, audio, params, gen_parity)
+
+
+@jax.jit
+def _merge_and_pack(outs):
+    """One dispatch for the final merge + pack."""
+    m = _merge_outs(outs)
+    return _pack_outputs(m["valid"], m["payload"], m["t0_hop"],
+                         m["f0_bin"], m["score"], m["snr"])
 
 
 @jax.jit
@@ -606,11 +689,18 @@ class GFSKDecoder:
         into a single uint8 buffer on device and split back here.  (On a
         local PCIe-attached chip this also reduces sync points 6x.)
         """
-        out = self.decode_arrays_device(audio)
+        return self._fetch_outputs(self.decode_arrays_device(audio))
+
+    def _fetch_outputs(self, out) -> dict[str, np.ndarray]:
+        """One packed device->host fetch of a device output dict."""
         packed = np.asarray(_pack_outputs(
             out["valid"], out["payload"], out["t0_hop"], out["f0_bin"],
             out["score"], out["snr"]))
-        n_p = out["payload"].shape[-1]
+        return self._parse_packed(packed, out["payload"].shape[-1])
+
+    @staticmethod
+    def _parse_packed(packed: np.ndarray, n_p: int) -> dict[str, np.ndarray]:
+        """Split the packed uint8 buffer back into output arrays."""
         p8 = -(-n_p // 8)
         pay = np.unpackbits(packed[:, :, :p8], axis=-1)[:, :, :n_p]
         m = packed[:, :, p8:].astype(np.int64)
@@ -665,10 +755,12 @@ class GFSKDecoder:
         """Decode with multi-pass signal subtraction.
 
         The reference's deep decode (``jt9 -d 3``) does iterative
-        subtraction inside the external binary; here each pass decodes the
-        residual after subtracting every already-decoded burst,
-        reconstructed with per-symbol complex gains (robust to the sync
-        grid's residual frequency error).
+        subtraction inside the external binary; here the ENTIRE depth loop
+        runs on device: each pass decodes the residual after subtracting
+        every already-decoded burst (selected and deduped on device,
+        :func:`select_subtract_params`), and only the merged candidate set
+        crosses back to the host — ONE fetch per decode() call instead of
+        one per pass (a fetch costs ~250 ms over a tunneled chip).
         """
         from cwsl_digi_tpu.modes.base import DecodeResult
 
@@ -679,79 +771,78 @@ class GFSKDecoder:
         spec = self.spec
         n_payload = self._crc_mat.shape[0]
         n_windows = audio.shape[0]
-        seen: list[dict[bytes, DecodeResult]] = [dict() for _ in range(n_windows)]
-        # burst parameters of every accepted decode, for re-subtraction:
-        # key -> (payload_info, t0_hop, f0_bin)
-        known: list[dict[bytes, tuple]] = [dict() for _ in range(n_windows)]
         # upload ONCE (as f16: halves the transfer; quantization sits
         # ~60 dB below the waveform, far under the noise floor of any
         # decodable signal); every later pass rebuilds the residual on
         # device from compact burst parameters (modes/subtract.py) — no
         # per-pass host synthesis, no re-upload of the audio batch
+        # upload ONCE (as f16: halves the transfer; quantization sits
+        # ~60 dB below the waveform, far under the noise floor of any
+        # decodable signal); every later pass rebuilds the residual on
+        # device from compact burst parameters (modes/subtract.py).  Passes
+        # stay separate dispatches (XLA schedules the fused mega-graph
+        # ~70% slower — measured), but nothing crosses back to the host
+        # until the single packed fetch at the end.
         audio_dev = jnp.asarray(audio.astype(np.float16)).astype(jnp.float32)
         work = audio_dev
-
+        outs: list[dict[str, jax.Array]] = []
         for _pass in range(max(1, depth)):
-            out = self.decode_arrays(work)
-            new_any = False
-            # sparse iteration: decodes only (the K axis can be 256+ per
-            # window, with a handful of valid entries)
-            for wi, k in np.argwhere(out["valid"]):
-                payload = np.asarray(out["payload"][wi, k, :n_payload])
-                key = np.packbits(payload).tobytes()
-                dt = out["t0_hop"][wi, k] * spec.hop / WAVE_SR \
-                    - spec.signal_start_s
-                freq = out["f0_bin"][wi, k] * spec.bin_hz
-                r = DecodeResult(
-                    message=self.unpack(payload),
-                    snr_db=round(float(out["snr"][wi, k]), 1),
-                    dt_s=round(float(dt), 2),
-                    freq_hz=round(float(freq), 1),
-                    score=float(out["score"][wi, k]),
-                    mode=self.mode,
-                    payload_bits=payload.copy(),
-                )
-                prev = seen[wi].get(key)
-                if prev is None:
-                    new_any = True
-                    known[wi][key] = (
-                        np.asarray(out["payload"][wi, k], np.uint8),
-                        int(out["t0_hop"][wi, k]), int(out["f0_bin"][wi, k]),
-                    )
-                if prev is None or r.score > prev.score:
-                    seen[wi][key] = r
-            if not new_any or _pass + 1 >= depth:
+            outs.append(self.decode_arrays_device(work))
+            if _pass + 1 >= depth:
+                break
+            if not bool(np.asarray(jnp.any(outs[-1]["valid"]))):
+                # EXACT early exit: zero decodes this pass means the
+                # residual is unchanged, so the next pass would re-run the
+                # identical program.  Costs one tiny sync; saves a full
+                # pass + subtraction on quiet bands (most channels).
                 break
             # rebuild the residual from the ORIGINAL audio, re-fitting every
             # known burst's gain now that more of the band is explained —
             # sequential refits over a cleaner residual give better
             # cancellation than one-shot subtraction in crowded bands
-            work = self._rebuild_residual(audio_dev, known)
+            work = _select_and_subtract(spec, self.SUB_MAX, audio_dev,
+                                        tuple(outs), self._hash_w,
+                                        self._gen_parity_f32)
+        n_info = self._crc_mat.shape[0] + self._crc_mat.shape[1]
+        out = self._parse_packed(
+            np.asarray(_merge_and_pack(tuple(outs))), n_info)
+
+        seen: list[dict[bytes, DecodeResult]] = [dict() for _ in range(n_windows)]
+        # sparse iteration: decodes only (the K axis can be 512+ per
+        # window, with a handful of valid entries)
+        for wi, k in np.argwhere(out["valid"]):
+            payload = np.asarray(out["payload"][wi, k, :n_payload])
+            key = np.packbits(payload).tobytes()
+            dt = out["t0_hop"][wi, k] * spec.hop / WAVE_SR \
+                - spec.signal_start_s
+            freq = out["f0_bin"][wi, k] * spec.bin_hz
+            r = DecodeResult(
+                message=self.unpack(payload),
+                snr_db=round(float(out["snr"][wi, k]), 1),
+                dt_s=round(float(dt), 2),
+                freq_hz=round(float(freq), 1),
+                score=float(out["score"][wi, k]),
+                mode=self.mode,
+                payload_bits=payload.copy(),
+            )
+            prev = seen[wi].get(key)
+            if prev is None or r.score > prev.score:
+                seen[wi][key] = r
         return [sorted(s.values(), key=lambda r: -r.score) for s in seen]
 
     # most known bursts subtractable per window (crowded-band headroom;
-    # beyond this, the first-discovered — strongest — bursts are kept)
-    SUB_MAX = 32
+    # beyond this, the strongest bursts are kept).  Each burst is one step
+    # of the sequential device scan (~10 ms per step at FT8 size), so this
+    # trades tail-of-pileup recall against decode latency.
+    SUB_MAX = 16
 
-    def _rebuild_residual(self, audio_dev: jax.Array,
-                          known: list[dict[bytes, tuple]]) -> jax.Array:
-        """Pack known-burst params and run the device subtraction scan."""
-        from cwsl_digi_tpu.modes.subtract import subtract_known
-
-        n_windows = audio_dev.shape[0]
-        k = self.bp.code.k
-        m_needed = max((len(d) for d in known), default=1)
-        m = min(self.SUB_MAX, max(8, -(-m_needed // 8) * 8))
-        # one packed int32 upload: [info bits (k) | t0_hop | f0_bin | valid]
-        params = np.zeros((n_windows, m, k + 3), np.int32)
-        for wi, d in enumerate(known):
-            for j, (info, t0_hop, f0_bin) in enumerate(list(d.values())[:m]):
-                params[wi, j, :k] = info[:k]
-                params[wi, j, k] = t0_hop
-                params[wi, j, k + 1] = f0_bin
-                params[wi, j, k + 2] = 1
-        return subtract_known(self.spec, audio_dev, params,
-                              self._gen_parity_f32)
+    @functools.cached_property
+    def _hash_w(self) -> jax.Array:
+        """Random int32 weights hashing payloads in select_subtract_params."""
+        rng = np.random.default_rng(0x5D1F)
+        n_info = self._crc_mat.shape[0] + self._crc_mat.shape[1]
+        return jnp.asarray(
+            rng.integers(1, 2**31 - 1, size=n_info, dtype=np.int32))
 
     @functools.cached_property
     def _gen_parity_f32(self) -> np.ndarray:

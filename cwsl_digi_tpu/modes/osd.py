@@ -71,14 +71,26 @@ def _osd_one(gen: jax.Array, llr: jax.Array, patterns: jax.Array):
     Returns (codeword [n] int8, soft distance, hard-error count).
     """
     k, n = gen.shape
+    w = -(-n // 32)                        # packed words per row
     rel = jnp.abs(llr)
     perm = jnp.argsort(-rel)               # most reliable first
-    gp = gen[:, perm].astype(jnp.uint8)    # uint8: the elimination loop is
-    rows = jnp.arange(k)                   # HBM-bound, 4x less than int32
+    rows = jnp.arange(k)
+    # BIT-PACK the permuted generator: the elimination loop's state drops
+    # from k*n bytes to k*ceil(n/32) words, so the ~k sequential steps
+    # (each a full pass over the state) shrink ~7x in HBM traffic.
+    # Column c lives at bit (c & 31) of word (c >> 5).
+    shift = jnp.uint32(1) << (jnp.arange(n, dtype=jnp.uint32) % 32)
+    gperm = gen[:, perm].astype(jnp.uint32)
+    pad = w * 32 - n
+    gp_bits = jnp.pad(gperm * shift[None, :], ((0, 0), (0, pad)))
+    gp = gp_bits.reshape(k, w, 32).sum(axis=2).astype(jnp.uint32)
 
     def col_step(carry):
         gp, r, c = carry
-        col = gp[:, c].astype(jnp.int32)
+        wi = (c >> 5).astype(jnp.int32)
+        bit = (c & 31).astype(jnp.uint32)
+        col = (jax.lax.dynamic_index_in_dim(gp, wi, axis=1, keepdims=False)
+               >> bit) & 1
         cand = (col == 1) & (rows >= r)
         has = jnp.any(cand)
         p = jnp.argmax(cand)               # first available pivot row
@@ -86,16 +98,21 @@ def _osd_one(gen: jax.Array, llr: jax.Array, patterns: jax.Array):
         src = jnp.where(rows == r, p, jnp.where(rows == p, r, rows))
         gp = jnp.where(has, gp[src], gp)
         pivot_row = gp[r]
-        elim = (gp[:, c] == 1) & (rows != r) & has
+        col2 = (jax.lax.dynamic_index_in_dim(gp, wi, axis=1, keepdims=False)
+                >> bit) & 1
+        elim = (col2 == 1) & (rows != r) & has
         gp = jnp.where(elim[:, None], gp ^ pivot_row[None, :], gp)
         return gp, r + has.astype(jnp.int32), c + 1
 
     # loop until k pivots are placed (or columns run out): with k=91 of
     # n=174 the expected column count is ~k + a few — a while_loop saves
-    # nearly half the fori_loop's fixed n iterations
+    # nearly half a fixed n-iteration loop
     gp, _, _ = jax.lax.while_loop(
         lambda s: (s[1] < k) & (s[2] < n), col_step,
         (gp, jnp.int32(0), jnp.int32(0)))
+    # unpack to [k, n] 0/1 for the pattern matmul below
+    gp = ((gp[:, :, None] >> jnp.arange(32, dtype=jnp.uint32)[None, None, :])
+          & 1).reshape(k, w * 32)[:, :n].astype(jnp.uint8)
     # gp is now systematic over its pivot columns; recover them: pivot column
     # of row i is the first set bit (all other rows were eliminated there).
     basis = jnp.argmax(gp, axis=1)         # [k], increasing

@@ -200,12 +200,19 @@ def subtract_known(spec, audio, params, gen_parity):
         blk1 = jnp.floor_divide(start1, hop)
         fine1 = start1 - blk1 * hop
 
-        # 3) re-extract at the refined start; df2 touch-up; global gain
+        # 3) re-extract at the refined start; df2 touch-up; global gain.
+        # df2 is applied as an ANALYTIC linear-phase twist of the second
+        # synthesis: synth puts f inside the phase cumsum, so synth(f+df2)
+        # == synth(f) * exp(i*2*pi*df2*(u+1)/SR) exactly — one cos/sin pass
+        # instead of a third full synthesis (dphi build + cumsum + cos/sin).
         seg1, bidx1 = extract(res, blk1)
         zr, zi = synth(t_pad, fine1, f0 + df1)
         cr, ci = per_symbol(seg1, zr, zi, fine1)
         df2, _ = df_same(cr, ci, same)
-        zr, zi = synth(t_pad, fine1, f0 + df1 + df2)
+        th2 = (2.0 * np.pi / WAVE_SR) * df2[:, None] \
+            * (u_all.astype(jnp.float32) + 1.0)
+        ct, st = jnp.cos(th2), jnp.sin(th2)
+        zr, zi = zr * ct - zi * st, zi * ct + zr * st
 
         lo = jnp.maximum(start1, 0)
         hi = jnp.minimum(start1 + L, T)

@@ -187,12 +187,14 @@ def main():
     print(f"decode_program     {t*1e3:8.2f} ms  ({t/b*1e3:.2f} ms/win)")
 
     # --- fetch cost ----------------------------------------------------------
+    dec.decode_arrays(audio)            # warm (compile + cache)
     t0 = time.perf_counter()
     dec.decode_arrays(audio)
     t_fetch = time.perf_counter() - t0
     print(f"decode_arrays e2e  {t_fetch*1e3:8.2f} ms  ({t_fetch/b*1e3:.2f} ms/win)")
 
     # --- production decode() --------------------------------------------------
+    dec.decode(audio)                   # warm (compile + cache)
     t0 = time.perf_counter()
     dec.decode(audio)
     t_dec = time.perf_counter() - t0
