@@ -10,7 +10,9 @@ band limits 900-1100 Hz for FST4W (:655-658).  Native structure:
     carrying the 240 codeword bits, 2 per Gray-mapped symbol;
   - LDPC(240,101) (ldpc.py fst4_code): 101 info bits = 77 payload + 24 CRC
     (poly 0x864CFB); the H matrix is a documented same-profile stand-in
-    (the published ldpc_240_101 table could not be reproduced from memory);
+    (the published ldpc_240_101 table could not be reproduced from
+    memory) — supply the real one at runtime via
+    ``CWSL_DIGI_TPU_TABLES_DIR/fst4_ldpc_240_101.txt`` (tables_ext.py);
   - symbol lengths per period follow the WSJT-X parameter set:
     3888/8200/21504/66560/134400 samples for 60/120/300/900/1800 s —
     tone spacing down to 0.089 Hz for FST4-1800;

@@ -12,9 +12,14 @@ The reference invokes JS8Call's ``js8`` binary (source/DecoderPool.hpp:
     12 characters of 6-bit varicode (charset below), the directed frame
     [c28 | c28 | cmd16] mirrors JS8's directed messages.
 
-Interop note: like the other modes, sync arrays/code tables are
-self-consistent stand-ins with the protocol's exact dimensions; swap the
-published tables for on-air interop.
+Interop note: the sync arrays, LDPC(174,87) H and the 6-bit charset
+default to self-consistent stand-ins with the protocol's exact dimensions
+(js8call's real tables could not be reproduced bit-exactly from memory in
+this zero-egress environment).  Supply the published tables at runtime via
+``CWSL_DIGI_TPU_TABLES_DIR/{js8_costas,js8_ldpc_174_87}.txt``
+(modes/tables_ext.py); the remaining gap after that is js8call's
+variable-length huffman text coding, which this build replaces with a
+fixed 6-bit charset (a code change, documented here, not a table swap).
 """
 
 from __future__ import annotations
@@ -34,7 +39,21 @@ from cwsl_digi_tpu.modes.ldpc import BPDecoder, make_ldpc_code
 NSYM = 79
 SPS = 1920
 T_R = 15.0
-COSTAS_JS8 = (4, 2, 5, 6, 1, 3, 0)
+def _costas_rows() -> tuple[tuple[int, ...], ...]:
+    """Three 7-tone sync rows (start/middle/end): the published js8call
+    arrays when supplied via CWSL_DIGI_TPU_TABLES_DIR/js8_costas.txt,
+    else the documented stand-in (distinct from FT8's so the two modes
+    never cross-decode, matching js8call's design intent)."""
+    from cwsl_digi_tpu.modes import tables_ext
+
+    ext = tables_ext.js8_costas()
+    if ext is not None:
+        return tuple(tuple(int(t) for t in row) for row in ext)
+    return ((4, 2, 5, 6, 1, 3, 0),) * 3
+
+
+_COSTAS_ROWS = _costas_rows()
+COSTAS_JS8 = _COSTAS_ROWS[0]
 GRAY = (0, 1, 3, 2, 5, 6, 4, 7)
 PAYLOAD_BITS = 75
 CRC_BITS = 12
@@ -44,7 +63,9 @@ VARICODE = " ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789./?+-@#:!\"'$%&()*;<=>[]^_{}"
 assert len(VARICODE) == 64
 
 _sync_cells = tuple(
-    (off + i, int(t)) for off in (0, 36, 72) for i, t in enumerate(COSTAS_JS8)
+    (off + i, int(t))
+    for off, row in zip((0, 36, 72), _COSTAS_ROWS)
+    for i, t in enumerate(row)
 )
 DATA_SYMS = tuple(s for s in range(NSYM) if not (s < 7 or 36 <= s < 43 or s >= 72))
 
@@ -85,7 +106,18 @@ _ARG_CMDS = frozenset({"SNR"})
 
 @functools.lru_cache(maxsize=1)
 def js8_code():
-    """LDPC(174,87) — 87 info bits, 87 checks."""
+    """LDPC(174,87) — 87 info bits, 87 checks.
+
+    Uses the published WSJT-X 1.8-era parity matrix when supplied via
+    ``CWSL_DIGI_TPU_TABLES_DIR/js8_ldpc_174_87.txt`` (modes/tables_ext.py;
+    columns must be in codeword bit order, info bits first), else the
+    documented same-profile stand-in."""
+    from cwsl_digi_tpu.modes import tables_ext
+    from cwsl_digi_tpu.modes.ldpc import Code
+
+    h = tables_ext.js8_parity()
+    if h is not None:
+        return Code.from_parity_matrix(h)
     return make_ldpc_code(174, 87, seed=87)
 
 

@@ -16,11 +16,13 @@ adapted to the 12 kHz pipeline:
     binary-reflected Gray coding of each 6-bit symbol.
 
 Interop caveat (documented, not hidden): the 126-chip pseudo-random sync
-vector below is a deterministic stand-in — the published vector could not
-be reproduced from memory with confidence in this zero-egress environment
-(only its first chips and its statistics are pinned in public sources we
-can verify against).  Every other stage is the published algorithm; syncing
-to real transmissions requires only swapping ``SYNC``.
+vector defaults to a deterministic stand-in — the published vector could
+not be reproduced from memory with bit-exact confidence in this
+zero-egress environment (reconstruction attempts failed the exactly-63-
+ones invariant, so they were rejected rather than embedded).  Every other
+stage is the published algorithm; supply the real vector at runtime via
+``CWSL_DIGI_TPU_TABLES_DIR/jt65_sync.txt`` (modes/tables_ext.py) and the
+mode is on-air compatible with no code change.
 """
 
 from __future__ import annotations
@@ -50,7 +52,18 @@ def _make_sync_vector(n: int = NSYM, seed: int = 0x6A54) -> np.ndarray:
     return v
 
 
-SYNC = _make_sync_vector()
+def _sync_vector() -> np.ndarray:
+    """The published vector when supplied (modes/tables_ext.py — validated:
+    126 chips, exactly 63 ones), else the documented stand-in."""
+    from cwsl_digi_tpu.modes import tables_ext
+
+    ext = tables_ext.jt65_sync()
+    return ext if ext is not None else _make_sync_vector()
+
+
+SYNC = _sync_vector()
+SYNC_IS_PUBLISHED = SYNC is not None and not np.array_equal(
+    SYNC, _make_sync_vector())
 SYNC_SYMS = tuple(int(i) for i in np.nonzero(SYNC)[0])
 DATA_SYMS = tuple(int(i) for i in np.nonzero(1 - SYNC)[0])
 assert len(DATA_SYMS) == N_DATA

@@ -324,7 +324,17 @@ def ft8_code() -> Code:
 
 @functools.lru_cache(maxsize=None)
 def fst4_code() -> Code:
-    """LDPC(240,101): FST4/FST4W inner code."""
+    """LDPC(240,101): FST4/FST4W inner code.
+
+    Uses the published WSJT-X ldpc_240_101 parity matrix when supplied via
+    ``CWSL_DIGI_TPU_TABLES_DIR/fst4_ldpc_240_101.txt`` (modes/tables_ext.py;
+    columns in codeword bit order, info bits first), else the documented
+    same-profile stand-in."""
+    from cwsl_digi_tpu.modes import tables_ext
+
+    h = tables_ext.fst4_parity()
+    if h is not None:
+        return Code.from_parity_matrix(h)
     return make_ldpc_code(240, 101, seed=240)
 
 

@@ -18,8 +18,9 @@ Interop caveat (documented): the real Q65 inner code is QRA(63,13) — a
 q-ary repeat-accumulate code whose exact sparse matrix (IV3NWV's qracodes)
 could not be reproduced from memory in this zero-egress environment; this
 build uses a same-profile sparse GF(64) code (modes/qra.py) with the same
-message-passing decoder structure.  Swap the published QRA matrix in for
-on-air interop — the decoder is table-driven.
+message-passing decoder structure.  Supply the published dense H at
+runtime via ``CWSL_DIGI_TPU_TABLES_DIR/q65_qra_63_13.txt``
+(modes/tables_ext.py) for on-air interop — the decoder is table-driven.
 """
 
 from __future__ import annotations
@@ -72,7 +73,19 @@ SPEC = QarySpec(
 
 # info-column weight 4 + 60 iterations measured best on the synthetic
 # noncoherent 64-FSK channel (tools: /tmp profile sweep; 50% @ Es/N0 4.1 dB)
-_CODE = build_qra_code(63, 13, info_w=4)
+def _make_code():
+    """Published QRA(63,13) when supplied (tables_ext.q65_qra), else the
+    documented same-profile stand-in."""
+    from cwsl_digi_tpu.modes import tables_ext
+    from cwsl_digi_tpu.modes.qra import code_from_dense
+
+    h = tables_ext.q65_qra()
+    if h is not None:
+        return code_from_dense(h, 13)
+    return build_qra_code(63, 13, info_w=4)
+
+
+_CODE = _make_code()
 
 
 @functools.lru_cache(maxsize=1)

@@ -182,24 +182,42 @@ def build_qra_code(n: int = 63, k: int = 13, seed: int = 65,
         for c, pick in enumerate(cols):
             for r in pick:
                 h[r, c] = int(rng.integers(1, Q))
-        bmat = h[:, k:]
-        amat = h[:, :k]
-        sol = _gf_solve(bmat, amat)        # [n_checks, k]: parity = sol @ info
-        if sol is None:
+        try:
+            return code_from_dense(h, k)
+        except ValueError:
             continue
-        # sparse row tables
-        rows = [np.nonzero(h[i])[0] for i in range(n_checks)]
-        max_row = max(len(r) for r in rows)
-        h_vars = np.full((n_checks, max_row), n, np.int32)
-        h_coeff = np.ones((n_checks, max_row), np.int32)
-        row_mask = np.zeros((n_checks, max_row), np.float32)
-        for i, r in enumerate(rows):
-            h_vars[i, : len(r)] = r
-            h_coeff[i, : len(r)] = h[i, r]
-            row_mask[i, : len(r)] = 1.0
-        return QRACode(n=n, k=k, h_vars=h_vars, h_coeff=h_coeff,
-                       row_mask=row_mask, gen=sol.T.astype(np.int64))
     raise RuntimeError("failed to construct q-ary code")
+
+
+def code_from_dense(h: np.ndarray, k: int) -> QRACode:
+    """Build a :class:`QRACode` from a dense GF(64) parity matrix
+    ``[n_checks, n]`` (0 = no edge) with info columns first.
+
+    This is the entry point for the PUBLISHED Q65 QRA(63,13) matrix
+    (supplied via CWSL_DIGI_TPU_TABLES_DIR/q65_qra_63_13.txt,
+    modes/tables_ext.py) as well as the stand-in construction above."""
+    h = np.asarray(h, np.int64)
+    n_checks, n = h.shape
+    if k != n - n_checks:
+        raise ValueError(f"H shape {h.shape} inconsistent with k={k}")
+    bmat = h[:, k:]
+    amat = h[:, :k]
+    sol = _gf_solve(bmat, amat)        # [n_checks, k]: parity = sol @ info
+    if sol is None:
+        raise ValueError("parity block of H is singular over GF(64); "
+                         "supply H with info columns first")
+    # sparse row tables
+    rows = [np.nonzero(h[i])[0] for i in range(n_checks)]
+    max_row = max(len(r) for r in rows)
+    h_vars = np.full((n_checks, max_row), n, np.int32)
+    h_coeff = np.ones((n_checks, max_row), np.int32)
+    row_mask = np.zeros((n_checks, max_row), np.float32)
+    for i, r in enumerate(rows):
+        h_vars[i, : len(r)] = r
+        h_coeff[i, : len(r)] = h[i, r]
+        row_mask[i, : len(r)] = 1.0
+    return QRACode(n=n, k=k, h_vars=h_vars, h_coeff=h_coeff,
+                   row_mask=row_mask, gen=sol.T.astype(np.int64))
 
 
 # ---------------------------------------------------------------------------
