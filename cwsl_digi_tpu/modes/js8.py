@@ -101,7 +101,7 @@ DIRECTED_CMDS = ("", "SNR?", "SNR", "ACK", "73", "HEARTBEAT", "HB", "QSL?",
                  "STATUS?", "STATUS", "HEARING?", "HEARING", "DIT DIT",
                  "FB", "HW CPY?", "SK", "RR", "YES", "NO", ">")
 # commands that carry a numeric argument in the arg8 field
-_ARG_CMDS = frozenset({"SNR"})
+_ARG_CMDS = frozenset({"SNR"})  # commands whose trailing number is an argument
 
 
 @functools.lru_cache(maxsize=1)
@@ -198,10 +198,10 @@ def pack_payload(text: str) -> np.ndarray:
                 return np.asarray(bits, np.uint8)
             except ValueError:
                 pass
-        if len(rest) >= 2:
+        if len(rest) >= 1:
             to_call = rest[0]
             cmd_words = rest[1:]
-            arg = 0
+            arg = None
             # a trailing number is an argument only when what precedes it
             # is itself a command ("SNR -12"); bare "73" IS the command
             if (len(cmd_words) >= 2
@@ -210,7 +210,8 @@ def pack_payload(text: str) -> np.ndarray:
                 arg = int(cmd_words[-1])
                 cmd_words = cmd_words[:-1]
             cmd = " ".join(cmd_words)
-            if cmd in DIRECTED_CMDS and -64 <= arg <= 63:
+            # arg byte: 0 = absent, else arg+64 (so -63..63 representable)
+            if cmd in DIRECTED_CMDS and (arg is None or -63 <= arg <= 63):
                 try:
                     c1 = message77.pack_call28(from_call)
                     c2 = message77.pack_call28(to_call)
@@ -219,7 +220,8 @@ def pack_payload(text: str) -> np.ndarray:
                             + message77.bits_from_int(c2, 28)
                             + message77.bits_from_int(
                                 DIRECTED_CMDS.index(cmd), 8)
-                            + message77.bits_from_int(arg + 64, 8))
+                            + message77.bits_from_int(
+                                0 if arg is None else arg + 64, 8))
                     return np.asarray(bits, np.uint8)
                 except ValueError:
                     pass
@@ -246,14 +248,14 @@ def unpack_payload(bits: np.ndarray) -> str | None:
         c1 = message77.int_from_bits(bits[3:31])
         c2 = message77.int_from_bits(bits[31:59])
         cmd = message77.int_from_bits(bits[59:67])
-        arg = message77.int_from_bits(bits[67:75]) - 64
+        raw = message77.int_from_bits(bits[67:75])   # 0 = no argument
         if cmd >= len(DIRECTED_CMDS):
             return None
         w1 = message77.unpack_call28(c1)
         w2 = message77.unpack_call28(c2)
         tail = f" {DIRECTED_CMDS[cmd]}" if DIRECTED_CMDS[cmd] else ""
-        if DIRECTED_CMDS[cmd] in _ARG_CMDS or (arg and DIRECTED_CMDS[cmd]):
-            tail += f" {arg}"
+        if raw:
+            tail += f" {raw - 64}"
         return f"{w1}: {w2}{tail}"
     if ftype == FRAME_HEARTBEAT:
         hb = int(bits[3])

@@ -496,7 +496,12 @@ def _unpack_dxpedition(bits: np.ndarray) -> Message:
 
 def _pack_fieldday(words: list[str]) -> np.ndarray:
     """Types 0.3/0.4: 'WA9XYZ KA1ABC R 16A EMA'
-    = c28 c28 R1 n4 k3 S7 n3=3 (transmitters 17-32 -> n3=4)."""
+    = c28 c28 R1 n4 k3 S7 n3=3 (transmitters 17-32 -> n3=4).
+
+    Class/section are stored 1-based, matching Fortran packjt77's
+    natural 1-based ``index('ABCDEF', class)`` / section-table lookup
+    (class A -> k3=1, first section -> S7=1); round-trip tested here,
+    not yet validated against a WSJT-X ft8code bit vector."""
     if len(words) == 5 and words[2] == "R":
         r1, cls, sec = 1, words[3], words[4]
     elif len(words) == 4:
@@ -618,13 +623,17 @@ def _pack_euvhf(words: list[str]) -> np.ndarray:
         raise ValueError("EU VHF carries hashed calls")
     if len(ex) != 6 or not ex.isdigit() or not 52 <= int(ex[:2]) <= 59:
         raise ValueError("exchange must be RSdddd with RS 52..59")
+    if int(ex[2:]) > 2047:
+        # the s11 field holds 0..2047; wrapping would corrupt the serial,
+        # so reject and let the message ride as free text instead
+        raise ValueError("EU VHF serial exceeds 2047")
     g25 = _grid25(grid)
     c1b, c2b = c1.strip("<>"), c2.strip("<>")
     register_call(c1b)
     register_call(c2b)
     bits = (bits_from_int(hash12(c1b), 12) + bits_from_int(hash22(c2b), 22)
             + [r1] + bits_from_int(int(ex[:2]) - 52, 3)
-            + bits_from_int(int(ex[2:]) % 2048, 11)
+            + bits_from_int(int(ex[2:]), 11)
             + bits_from_int(g25, 25) + bits_from_int(5, 3))
     return np.array(bits, dtype=np.uint8)
 
@@ -664,7 +673,9 @@ def _pack_telemetry(words: list[str]) -> np.ndarray:
 
 def _unpack_telemetry(bits: np.ndarray) -> Message:
     v = int_from_bits(bits[0:71])
-    return Message(text=f"{v:X}", i3=0, is_free_text=True)
+    # pad to the 6-hex-digit pack minimum so unpack -> pack is stable
+    # (telemetry bits carry no length, so longer leading zeros are lost)
+    return Message(text=f"{v:06X}", i3=0, is_free_text=True)
 
 
 def unpack77(bits: np.ndarray) -> Message:

@@ -81,11 +81,13 @@ class ShardedSkimStep:
             return list(range(self.n_channels))
         sh = self._sharding()
         out = []
-        for sl in sorted(
-                {idx[0] for d, idx in sh.addressable_devices_indices_map(
-                    (self.n_channels,)).items()},
-                key=lambda s: s.start or 0):
-            out.extend(range(sl.start or 0, sl.stop))
+        # key on (start, stop) tuples: slice is unhashable before 3.12
+        spans = {(idx[0].start or 0,
+                  self.n_channels if idx[0].stop is None else idx[0].stop)
+                 for idx in sh.addressable_devices_indices_map(
+                     (self.n_channels,)).values()}
+        for start, stop in sorted(spans):
+            out.extend(range(start, stop))
         return out
 
     def step(self, iq: np.ndarray) -> dict[str, np.ndarray]:
