@@ -189,13 +189,18 @@ class FST4Decoder(GFSKDecoder):
     """One decoder per FST4/FST4W variant."""
 
     def __init__(self, mode: Mode | str, top_k: int | None = None,
-                 bp_iters: int | None = None):
+                 bp_iters: int | None = None, fmax_hz: float | None = None):
         mode = Mode(mode)
         period, is_w = _FST4_MODES[mode]
         spec = make_spec(mode)
-        if top_k or bp_iters:
+        # FST4W keeps its fixed 1400-1600 Hz band (jt9 -L 1400 -H 1600,
+        # DecoderPool.hpp:655-658); -H applies only to the FST4 variants
+        if is_w:
+            fmax_hz = None
+        if top_k or bp_iters or fmax_hz:
             spec = dataclasses.replace(spec, top_k=top_k or spec.top_k,
-                                       bp_iters=bp_iters or spec.bp_iters)
+                                       bp_iters=bp_iters or spec.bp_iters,
+                                       fmax_hz=fmax_hz or spec.fmax_hz)
         super().__init__(
             spec,
             get_bp_decoder("fst4", iters=spec.bp_iters),

@@ -92,14 +92,16 @@ def synthesize(text: str, f0_hz: float = 1500.0, amplitude: float = 1.0,
 
 class FT4Decoder(GFSKDecoder):
     def __init__(self, top_k: int | None = None, bp_iters: int | None = None,
-                 depth: int | None = None):
+                 depth: int | None = None, fmax_hz: float | None = None):
         import dataclasses as _dc
 
         spec = SPEC
-        if top_k or bp_iters or depth:
+        if top_k or bp_iters or depth or fmax_hz:
+            # fmax_hz ≙ jt9 -H highestdecodefreq (DecoderPool.hpp:636-651)
             spec = _dc.replace(SPEC, top_k=top_k or SPEC.top_k,
                                bp_iters=bp_iters or SPEC.bp_iters,
-                               depth=depth or SPEC.depth)
+                               depth=depth or SPEC.depth,
+                               fmax_hz=fmax_hz or SPEC.fmax_hz)
         super().__init__(
             spec,
             get_bp_decoder("ft8", iters=spec.bp_iters),

@@ -152,12 +152,15 @@ class FT8Decoder(GFSKDecoder):
     def __init__(self, top_k: int | None = None, bp_iters: int | None = None,
                  spec: ModeSpec | None = None,
                  ap: np.ndarray | bool | None = None,
-                 my_call: str = "", depth: int | None = None):
+                 my_call: str = "", depth: int | None = None,
+                 fmax_hz: float | None = None):
         s = spec or SPEC
-        if top_k or bp_iters or depth:
+        if top_k or bp_iters or depth or fmax_hz:
+            # fmax_hz ≙ jt9 -H highestdecodefreq (DecoderPool.hpp:636-651)
             s = dataclasses.replace(s, top_k=top_k or s.top_k,
                                     bp_iters=bp_iters or s.bp_iters,
-                                    depth=depth or s.depth)
+                                    depth=depth or s.depth,
+                                    fmax_hz=fmax_hz or s.fmax_hz)
         if ap is True or (ap is None and my_call):
             ap = ap_hypotheses(my_call)
         elif ap is False:

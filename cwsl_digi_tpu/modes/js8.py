@@ -352,11 +352,14 @@ def synthesize(text: str, f0_hz: float = 1500.0, amplitude: float = 1.0,
 
 
 class JS8Decoder(GFSKDecoder):
-    def __init__(self, top_k: int | None = None, bp_iters: int | None = None):
+    def __init__(self, top_k: int | None = None, bp_iters: int | None = None,
+                 fmax_hz: float | None = None):
         spec = SPEC
-        if top_k or bp_iters:
+        if top_k or bp_iters or fmax_hz:
+            # fmax_hz ≙ jt9 -H highestdecodefreq (DecoderPool.hpp:636-651)
             spec = dataclasses.replace(SPEC, top_k=top_k or SPEC.top_k,
-                                       bp_iters=bp_iters or SPEC.bp_iters)
+                                       bp_iters=bp_iters or SPEC.bp_iters,
+                                       fmax_hz=fmax_hz or SPEC.fmax_hz)
         def _unpack(bits):
             # distinguish a malformed frame (None) from a legitimately
             # empty text frame ("")

@@ -146,10 +146,15 @@ def synthesize(text: str, f0_hz: float = 1270.5, amplitude: float = 1.0,
 class JT65Decoder(QaryDecoder):
     mode = Mode.JT65
 
-    def __init__(self, top_k: int | None = None):
+    def __init__(self, top_k: int | None = None,
+                 fmax_hz: float | None = None):
         import dataclasses as _dc
 
-        spec = _dc.replace(SPEC, top_k=top_k) if top_k else SPEC
+        spec = SPEC
+        if top_k or fmax_hz:
+            # fmax_hz ≙ jt9 -H highestdecodefreq (DecoderPool.hpp:636-651)
+            spec = _dc.replace(SPEC, top_k=top_k or SPEC.top_k,
+                               fmax_hz=fmax_hz or SPEC.fmax_hz)
         super().__init__(spec, _RS, Mode.JT65,
                          unpack=lambda info: unpack_message(info),
                          symbol_perm=ILV, value_demap=UNGRAY)

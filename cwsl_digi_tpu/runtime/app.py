@@ -91,24 +91,30 @@ class App:
         if cfg.get("wsjtx", "keepwav"):
             keep_wav_dir = cfg.get("wsjtx", "temppath") or "keepwav"
 
-        # decodedepth (config.ini:213-215, jt9 -d flag) and wsprcycles
-        # (config.ini:217-222, wsprd -C flag) map to native decoder knobs
+        # decodedepth (config.ini:213-215, jt9 -d flag), wsprcycles
+        # (config.ini:217-222, wsprd -C flag) and highestdecodefreq
+        # (jt9 -H, DecoderPool.hpp:636-651) map to native decoder knobs
         depth = max(1, min(3, int(cfg.get("wsjtx", "decodedepth"))))
         cycles = int(cfg.get("wsjtx", "wsprcycles"))
+        fmax = float(cfg.get("wsjtx", "highestdecodefreq"))
 
         def decoder_factory(mode):
-            from cwsl_digi_tpu.constants import Mode as _M
+            from cwsl_digi_tpu.constants import Mode as _M, is_mode_fst4
             from cwsl_digi_tpu.modes.base import get_decoder
 
             # FT8 gets a-priori hypotheses seeded with the operator callsign
             # (reference AP flags, source/DecoderPool.hpp:466-469)
             if mode == _M.FT8:
                 return get_decoder(mode, my_call=cfg.get("operator", "callsign"),
-                                   depth=depth)
+                                   depth=depth, fmax_hz=fmax)
             if mode == _M.FT4:
-                return get_decoder(mode, depth=depth)
+                return get_decoder(mode, depth=depth, fmax_hz=fmax)
             if mode == _M.WSPR:
+                # wsprd takes no -H; its band is the WSPR sub-band
                 return get_decoder(mode, cycles=cycles)
+            if mode in (_M.JS8, _M.JT65, _M.Q65_30) or is_mode_fst4(mode):
+                return get_decoder(mode, fmax_hz=fmax)
+            # FST4W keeps the fixed 1400-1600 Hz band (jt9 -L/-H override)
             return get_decoder(mode)
 
         self.pool = DecoderPool(

@@ -317,3 +317,34 @@ def test_app_reaps_finished_live_receivers():
     app.printer = _P()
     app._reap_dead_receivers()
     assert set(app.receivers) == {"file:/tmp/x.npy", "synthetic:"}
+
+
+def test_highestdecodefreq_bounds_decode_band(tmp_path):
+    """wsjtx.highestdecodefreq flows into every jt9-analog decoder's
+    fmax_hz (jt9 -H semantics, source/DecoderPool.hpp:636-651); FST4W
+    keeps its fixed 1400-1600 Hz band (-L 1400 -H 1600, :655-658)."""
+    from cwsl_digi_tpu.config import load_config
+    from cwsl_digi_tpu.constants import Mode
+    from cwsl_digi_tpu.runtime.app import App
+
+    ini = tmp_path / "hdf.ini"
+    ini.write_text("""
+[radio]
+source=synthetic:?sr=48000&lo=14077000
+[operator]
+callsign=W2AXR
+gridsquare=FN13
+[decoders]
+decoder=14074000 FT8
+[wsjtx]
+highestdecodefreq=2000
+[logging]
+loglevel=1
+""")
+    app = App(load_config(ini), max_runtime_s=1)
+    factory = app.pool._decoder_factory
+    for mode in (Mode.FT8, Mode.FT4, Mode.JS8, Mode.JT65, Mode.Q65_30,
+                 Mode.FST4_60):
+        dec = factory(mode)
+        assert dec.spec.fmax_hz == 2000.0, mode
+    assert factory(Mode.FST4W_120).spec.fmax_hz == 1600.0
