@@ -40,9 +40,17 @@ class ShardedSkimStep:
     ) -> None:
         self.mesh = mesh
         self.axis = axis
-        self.chan = BatchChannelizer(fs, freqs_hz)
+        freqs = list(np.atleast_1d(freqs_hz))
+        self.n_channels = len(freqs)
+        # shard_map shards the channel axis structurally: pad the channel
+        # bank up to a multiple of the mesh (padded rows channelize 0 Hz
+        # and their outputs are dropped in _fetch)
+        n_dev = mesh.shape[axis]
+        self._pad_channels = (-len(freqs)) % n_dev
+        freqs = freqs + [0.0] * self._pad_channels
+        self.chan = BatchChannelizer(fs, freqs)
         self.dec = decoder or ft8.FT8Decoder()
-        self.n_channels = len(np.atleast_1d(freqs_hz))
+        self.n_total = len(freqs)
 
     def _sharding(self):
         return NamedSharding(self.mesh, P(self.axis))
@@ -67,12 +75,15 @@ class ShardedSkimStep:
             arr.shape, sharding, lambda idx: arr[idx])
 
     def _fetch(self, v) -> np.ndarray:
-        """Global array -> this process's rows (all rows on single host)."""
+        """Global array -> this process's rows (all rows on single host).
+
+        Channel-pad rows (always the global tail) are dropped."""
         if not self._multihost:
-            return np.asarray(v)
+            return np.asarray(v)[: self.n_channels]
         shards = sorted(v.addressable_shards,
                         key=lambda s: s.index[0].start or 0)
-        return np.concatenate([np.asarray(s.data) for s in shards])
+        rows = np.concatenate([np.asarray(s.data) for s in shards])
+        return rows[: len(self.local_channels)]
 
     @property
     def local_channels(self) -> list[int]:
@@ -83,11 +94,12 @@ class ShardedSkimStep:
         out = []
         # key on (start, stop) tuples: slice is unhashable before 3.12
         spans = {(idx[0].start or 0,
-                  self.n_channels if idx[0].stop is None else idx[0].stop)
+                  self.n_total if idx[0].stop is None else idx[0].stop)
                  for idx in sh.addressable_devices_indices_map(
-                     (self.n_channels,)).values()}
+                     (self.n_total,)).values()}
         for start, stop in sorted(spans):
-            out.extend(range(start, stop))
+            # channel-pad rows live at the global tail; they are no one's
+            out.extend(i for i in range(start, stop) if i < self.n_channels)
         return out
 
     def step(self, iq: np.ndarray) -> dict[str, np.ndarray]:
@@ -109,6 +121,7 @@ class ShardedSkimStep:
         n_audio = t // chan.spec.block_size
 
         dec = self.dec
+        sh2 = NamedSharding(self.mesh, P(None, self.axis))
         state_sh = {"hist_re": sh, "hist_im": sh,
                     "phasor_re": sh, "phasor_im": sh, "out_phase": rep}
         out = _skim_program(
@@ -117,8 +130,8 @@ class ShardedSkimStep:
             self._put(iq_im, rep),
             self._put(np.asarray(chan.tone_re), sh),
             self._put(np.asarray(chan.tone_im), sh),
-            self._put(np.asarray(rot_re), rep), self._put(np.asarray(rot_im), rep),
-            self._put(np.asarray(step_re), rep), self._put(np.asarray(step_im), rep),
+            self._put(np.asarray(rot_re), sh2), self._put(np.asarray(rot_im), sh2),
+            self._put(np.asarray(step_re), sh), self._put(np.asarray(step_im), sh),
             self._put(np.asarray(chan.segs), rep),
             {k: self._put(np.asarray(v), state_sh[k])
              for k, v in chan.init_state().items()},
@@ -144,18 +157,42 @@ def _skim_program(
     chan_state,
     crc_mat, bitmaps, window, data_syms,
 ):
+    """Channelize + decode, shard_map'd over the channel axis.
+
+    The program is embarrassingly parallel over channels, but expressing
+    that through GSPMD propagation alone does not survive the decode
+    program's reshapes: measured on an 8-device CPU mesh, the partitioner
+    left the decode stages replicated (per-device FLOPs dropped only
+    1.4x, 39 all-gathers).  shard_map makes the partition structural —
+    each device runs the entire local program on its own channel rows,
+    zero collectives."""
     from cwsl_digi_tpu.dsp.channelizer import _channelize_block
     from cwsl_digi_tpu.modes.gfsk_engine import decode_program
 
     (n_audio,) = shapes
-    sh = NamedSharding(mesh, P(axis))
+    rep = P()
+    ch2 = P(axis)               # [C, ...] per-channel tables / outputs
+    state_specs = {"hist_re": ch2, "hist_im": ch2,
+                   "phasor_re": P(axis), "phasor_im": P(axis),
+                   "out_phase": rep}
 
-    audio, _ = _channelize_block(
-        chan_spec, iq_re, iq_im, tone_re, tone_im,
-        rot_re, rot_im, step_re, step_im, segs, chan_state,
-    )
-    audio = jax.lax.with_sharding_constraint(audio[:, :n_audio], sh)
-    out = decode_program(dec_spec, (n_audio,), audio, crc_mat, bitmaps,
-                         window, bp, data_syms)
-    out = {k: jax.lax.with_sharding_constraint(v, sh) for k, v in out.items()}
-    return out
+    def local(iq_re, iq_im, tone_re, tone_im, rot_re, rot_im,
+              step_re, step_im, segs, chan_state,
+              crc_mat, bitmaps, window, data_syms):
+        audio, _ = _channelize_block(
+            chan_spec, iq_re, iq_im, tone_re, tone_im,
+            rot_re, rot_im, step_re, step_im, segs, chan_state,
+        )
+        return decode_program(dec_spec, (n_audio,), audio[:, :n_audio],
+                              crc_mat, bitmaps, window, bp, data_syms)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(rep, rep, ch2, ch2, P(None, axis), P(None, axis),
+                  P(axis), P(axis), rep, state_specs,
+                  rep, rep, rep, rep),
+        out_specs=ch2,
+        check_vma=False,
+    )(iq_re, iq_im, tone_re, tone_im, rot_re, rot_im,
+      step_re, step_im, segs, chan_state,
+      crc_mat, bitmaps, window, data_syms)
