@@ -248,6 +248,9 @@ class PSKReporter:
         return n
 
     def _loop(self) -> None:  # pragma: no cover - timing loop
+        from cwsl_digi_tpu.utils import qos
+
+        qos.set_current_thread_nice(qos.BEST_EFFORT)   # ≙ PSKReporter.cpp:142
         while not self._terminate:
             time.sleep(random.uniform(*SEND_PERIOD_RANGE_S))
             if self._terminate:

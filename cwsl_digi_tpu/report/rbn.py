@@ -176,6 +176,9 @@ class RBNHandler:
         return n
 
     def _loop(self) -> None:  # pragma: no cover - timing loop
+        from cwsl_digi_tpu.utils import qos
+
+        qos.set_current_thread_nice(qos.BEST_EFFORT)   # ≙ RBNHandler.hpp:131
         while not self._terminate:
             time.sleep(BATCH_PERIOD_S)
             self.flush()

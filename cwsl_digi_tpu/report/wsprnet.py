@@ -138,6 +138,9 @@ class WSPRNet:
             return False
 
     def _loop(self) -> None:  # pragma: no cover - timing loop
+        from cwsl_digi_tpu.utils import qos
+
+        qos.set_current_thread_nice(qos.BEST_EFFORT)   # ≙ WSPRNet.cpp:54
         while not self._terminate:
             time.sleep(IDLE_SLEEP_S)
             self.flush()

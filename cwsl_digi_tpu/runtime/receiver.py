@@ -1,10 +1,15 @@
-"""Receiver: one IQ source -> batched channelizer -> windowed decode jobs.
+"""Receiver: one IQ source -> ingest ring -> batched channelizer -> jobs.
 
 Replaces the reference's Receiver thread + one Instance thread per channel
-(source/Receiver.hpp:52-302, source/Instance.cpp:30-344): a single thread
-streams IQ blocks through the BatchChannelizer (all channels at once) and
-frames per-mode capture windows by *stream time* (sample counting), pushing
-one batched DecodeJob per (mode, window) to the pool.
+(source/Receiver.hpp:52-302, source/Instance.cpp:30-344): an ingest thread
+fills a ~3 s block ring (the reference's SPMC IQ ring, Receiver.hpp:132)
+and a channelize thread drains it through the BatchChannelizer (all
+channels at once), framing per-mode capture windows by *stream time*
+(sample counting) and pushing one batched DecodeJob per (mode, window) to
+the pool.  Splitting ingest from the device call means a slow channelize
+dispatch can never lap the source's own ring (round-2 finding); when the
+source is the native shm reader, the intake runs as a fully native
+shm->ring pump (native/cwsl_native.cpp, ≙ Receiver::readIQ).
 
 Window framing notes:
 - the reference stamps windows with wall-clock UTC and swaps per-channel
@@ -12,6 +17,12 @@ Window framing notes:
   framing the k-th window covers audio samples [k*T_R*12000, (k+1)*...),
   and the UTC stamp is ``utc_anchor + k*T_R`` — identical for live sources
   (anchored at a UTC boundary) and deterministic for replay;
+- live sources are additionally RE-anchored at every window boundary: the
+  ingest thread stamps (samples, wall) pairs, and when the stream clock
+  drifts from UTC (SDR sample-clock ppm error) the next window slips or
+  clips a few samples so window starts track true UTC like the reference's
+  per-window wall-clock swap (Instance.cpp:203-221) — 10 ppm would
+  otherwise clip FT8 bursts after a day;
 - the channelizer state is NOT reset between windows (phase-continuous
   streaming); the reference resets SSBD phase per window (Instance.cpp:251)
   only because its decoders are external — decode results are phase
@@ -20,8 +31,10 @@ Window framing notes:
 
 from __future__ import annotations
 
+import collections
 import enum
 import threading
+import time
 from typing import Callable
 
 import numpy as np
@@ -42,6 +55,60 @@ class Status(enum.Enum):
     FINISHED = "Finished"
 
 
+_EOF = object()   # end-of-stream sentinel between ingest and channelize
+
+
+class _IngestRing:
+    """Bounded block ring between the ingest and channelize threads.
+
+    Python counterpart of the native SPMC ring (native/cwsl_native.cpp):
+    ~3 s deep like the reference (Receiver.hpp:132, ((SR/iq_len)+1)*3
+    blocks).  ``push`` applies backpressure (blocks when full, the
+    reference's wait_for_empty_slot, Receiver.hpp:222-229) so bursts are
+    absorbed by the *source's* ring, where overruns are counted rather
+    than silent.  Each push is stamped with the ingest-side wall clock so
+    the re-anchoring estimator sees arrival time, not dequeue time.
+    """
+
+    def __init__(self, n_blocks: int) -> None:
+        self.n_blocks = max(2, n_blocks)
+        self._dq: collections.deque = collections.deque()
+        self._cv = threading.Condition()
+        self._samples = 0           # IQ samples ever pushed
+        self._wall = None           # wall stamp of the newest push
+
+    def push(self, block, wall: float, timeout: float = 1.0) -> bool:
+        with self._cv:
+            if len(self._dq) >= self.n_blocks:
+                self._cv.wait_for(lambda: len(self._dq) < self.n_blocks,
+                                  timeout)
+                if len(self._dq) >= self.n_blocks:
+                    return False
+            self._dq.append(block)
+            if block is not _EOF:
+                self._samples += len(block)
+                self._wall = wall
+            self._cv.notify_all()
+            return True
+
+    def pop(self, timeout: float = 1.0):
+        with self._cv:
+            if not self._dq:
+                self._cv.wait_for(lambda: bool(self._dq), timeout)
+                if not self._dq:
+                    return None
+            item = self._dq.popleft()
+            self._cv.notify_all()
+            return item
+
+    def stamp(self) -> tuple[int, float] | None:
+        """(IQ samples ingested, wall clock at the newest arrival)."""
+        with self._cv:
+            if self._wall is None:
+                return None
+            return self._samples, self._wall
+
+
 class Receiver:
     """One capture source and every decoder line tuned within it."""
 
@@ -56,6 +123,8 @@ class Receiver:
         line_indices: list[int] | None = None,
         align_live: bool = False,
         channelizer: str = "xla",
+        wall_fn: Callable[[], float] | None = None,
+        ring_seconds: float = 3.0,
     ) -> None:
         self.source = source
         self.lines = list(lines)
@@ -71,6 +140,14 @@ class Receiver:
         self.status = Status.NOT_INITIALIZED
         self._terminate = threading.Event()
         self._thread: threading.Thread | None = None
+        self._ingest_thread: threading.Thread | None = None
+        self._wall = wall_fn or time.time
+        # ingest ring depth ≙ reference's ~3 s SPMC ring (Receiver.hpp:132)
+        blk = max(1, getattr(source, "block_size", 0) or
+                  source.sample_rate // 4)
+        self._ring = _IngestRing(int(ring_seconds * source.sample_rate
+                                     / blk) + 1)
+        self._pump = None           # native shm->ring pump when applicable
         self.line_indices = line_indices or [
             decoder_index_base + i for i in range(len(lines))
         ]
@@ -125,18 +202,47 @@ class Receiver:
             boundary = max(k, 0) * trp
             self._epoch0[mode] = boundary
             self._skip[mode] = int(round((boundary - utc_anchor) * WAVE_SR))
+        self._carry: dict[Mode, np.ndarray | None] = {
+            m: None for m in self._mode_rows}
         self._iq_leftover = np.zeros(0, np.complex64)
+        self._dec_ratio = source.sample_rate / WAVE_SR
+        self._audio_pos = 0     # audio samples fed to framing so far
 
     # -- reference API ------------------------------------------------------
 
     def init(self) -> None:
         self.status = Status.RUNNING
-        self._thread = threading.Thread(target=self._run, name="receiver",
+        # native shm source: the intake thread is the C++ pump
+        # (native/cwsl_native.cpp, ≙ Receiver::readIQ at ABOVE_NORMAL)
+        try:
+            from cwsl_digi_tpu.native import (NativePump, NativeRing,
+                                              NativeShmSource)
+
+            if isinstance(self.source, NativeShmSource):
+                nring = NativeRing(self.source.block_size * 8,
+                                   self._ring.n_blocks)
+                self._native_reader = nring.add_reader()
+                self._pump = NativePump(self.source, nring)
+                self._native_ring = nring
+        except Exception:
+            self._pump = None
+        if self._pump is None:
+            self._ingest_thread = threading.Thread(
+                target=self._ingest_loop, name="receiver-ingest", daemon=True)
+            self._ingest_thread.start()
+        self._thread = threading.Thread(target=self._run,
+                                        name="receiver-channelize",
                                         daemon=True)
         self._thread.start()
 
     def terminate(self) -> None:
         self._terminate.set()
+        if self._pump is not None:
+            self._pump.stop()
+            self._pump = None
+        if self._ingest_thread is not None:
+            self._ingest_thread.join(timeout=3.0)
+            self._ingest_thread = None
         if self._thread is not None:
             self._thread.join(timeout=3.0)
             self._thread = None
@@ -146,25 +252,74 @@ class Receiver:
     def get_status(self) -> Status:
         return self.status
 
+    @property
+    def overruns(self) -> int:
+        """Source blocks lost to ring overrun (0 in healthy operation)."""
+        n = int(getattr(self.source, "overruns", 0))
+        if self._pump is not None:
+            n += self._pump.dropped
+        return n
+
     # -- processing ---------------------------------------------------------
 
-    def _run(self) -> None:
-        import time as _time
+    def _ingest_loop(self) -> None:
+        """Source -> ring at elevated priority (≙ readIQ, Receiver.hpp:209).
 
-        if self.align_live:
-            delay = self.utc_anchor - _time.time()
-            if delay > 0:
-                self._drop_remaining = int(delay * self.source.sample_rate)
+        Nothing here may block on the device: a slow channelize dispatch
+        backs up the ring, the ring backpressures this thread, and losses
+        happen (counted!) in the source's own ring instead of silently.
+        """
+        from cwsl_digi_tpu.utils import qos
+
+        qos.set_current_thread_nice(qos.INGEST)
         try:
             while not self._terminate.is_set():
                 block = self.source.read_block(timeout=1.0)
                 if block is None:
                     # live sources time out when the writer is idle — keep
-                    # waiting; only a true end-of-stream finishes the
-                    # receiver (reference: SM.WaitForNewData timeout just
-                    # loops, Receiver.hpp:235-237)
+                    # waiting; only a true end-of-stream ends intake
+                    # (reference: SM.WaitForNewData timeout just loops,
+                    # Receiver.hpp:235-237)
                     if getattr(self.source, "live", False):
                         continue
+                    break
+                wall = self._wall()
+                while not self._terminate.is_set():
+                    if self._ring.push(block, wall, timeout=0.5):
+                        break
+        except Exception as e:
+            self.log(f"### receiver ingest error: {e!r}")
+        while not self._terminate.is_set():
+            if self._ring.push(_EOF, 0.0, timeout=0.5):
+                break
+
+    def _next_block(self):
+        """Dequeue the next IQ block (native pump ring or Python ring)."""
+        if self._pump is not None:
+            blk = self._native_ring.pop(self._native_reader, timeout=1.0)
+            if blk is None and not getattr(self.source, "live", False):
+                return _EOF
+            return blk
+        return self._ring.pop(timeout=1.0)
+
+    def _ingest_stamp(self) -> tuple[int, float] | None:
+        """(IQ samples ingested, wall at newest arrival) for re-anchoring."""
+        if self._pump is not None:
+            n = self._native_ring.write_count * self.source.block_size
+            return (n, self._wall()) if n else None
+        return self._ring.stamp()
+
+    def _run(self) -> None:
+        if self.align_live:
+            delay = self.utc_anchor - self._wall()
+            if delay > 0:
+                self._drop_remaining = int(delay * self.source.sample_rate)
+        try:
+            while not self._terminate.is_set():
+                block = self._next_block()
+                if block is None:
+                    continue
+                if block is _EOF:
                     self.status = Status.FINISHED
                     self._flush_partials()
                     return
@@ -191,16 +346,19 @@ class Receiver:
         self._accumulate(audio)
 
     def _accumulate(self, audio: np.ndarray) -> None:
+        chunk_start = self._audio_pos
+        self._audio_pos += audio.shape[1]
         for mode, rows in self._mode_rows.items():
             buf = self._buffers[mode]
             cap = buf.shape[1]
             data = audio[rows]
+            dropped = 0
             if self._skip[mode] > 0:
-                drop = min(self._skip[mode], data.shape[1])
-                self._skip[mode] -= drop
-                if drop == data.shape[1]:
+                dropped = min(self._skip[mode], data.shape[1])
+                self._skip[mode] -= dropped
+                if dropped == data.shape[1]:
                     continue
-                data = data[:, drop:]
+                data = data[:, dropped:]
             pos = 0
             while pos < data.shape[1]:
                 w = self._written[mode]
@@ -209,9 +367,55 @@ class Receiver:
                 self._written[mode] = w + n
                 pos += n
                 if self._written[mode] == cap:
-                    self._emit(mode)
+                    self._emit(mode, chunk_start + dropped + pos)
+                    # a fresh skip from re-anchoring applies to the rest
+                    # of this chunk immediately
+                    if self._skip[mode] > 0 and pos < data.shape[1]:
+                        d = min(self._skip[mode], data.shape[1] - pos)
+                        self._skip[mode] -= d
+                        dropped += d
+                        pos += d
 
-    def _emit(self, mode: Mode) -> None:
+    # re-anchoring: correct only past this misalignment, and never move a
+    # boundary by more than trp/8 at once (jitter guard)
+    REANCHOR_THRESH_S = 0.02
+
+    def _reanchor_samples(self, mode: Mode, end_pos: int) -> int:
+        """Window-boundary correction, in audio samples (+carry / -skip).
+
+        The reference swaps buffers on wall-clock ticks every window
+        (Instance.cpp:203-221), so window starts always track UTC.  Here
+        the equivalent: the ingest thread's (samples, wall) stamps give
+        the arrival wall time of the just-finished window's last sample;
+        if it differs from the window's nominal UTC end, the next window
+        reuses a tail (stream slow) or skips ahead (stream fast).
+        """
+        if not getattr(self.source, "live", False):
+            return 0
+        stamp = self._ingest_stamp()
+        if stamp is None:
+            return 0
+        iq_in, wall = stamp
+        audio_in = iq_in / self._dec_ratio
+        if audio_in < end_pos:      # stamp older than this boundary: skip
+            return 0
+        wall_at_end = wall - (audio_in - end_pos) / WAVE_SR
+        trp = get_rx_period(mode)
+        # _window_index was already advanced to k+1; the finished window's
+        # nominal end is epoch0 + (k+1)*trp
+        nominal_end = self._epoch0[mode] + self._window_index[mode] * trp
+        mis = wall_at_end - nominal_end
+        if abs(mis) < self.REANCHOR_THRESH_S:
+            return 0
+        max_corr = int(trp * WAVE_SR) // 8
+        n = int(round(mis * WAVE_SR))
+        n = max(-max_corr, min(max_corr, n))
+        self.log(f"re-anchor {mode.value}: stream {'late' if n > 0 else 'early'}"
+                 f" {abs(mis):.3f}s, {'carrying' if n > 0 else 'skipping'}"
+                 f" {abs(n)} samples")
+        return n
+
+    def _emit(self, mode: Mode, end_pos: int | None = None) -> None:
         rows = self._mode_rows[mode]
         k = self._window_index[mode]
         trp = get_rx_period(mode)
@@ -229,6 +433,14 @@ class Receiver:
         self.pool.push(job)
         self._written[mode] = 0
         self._window_index[mode] = k + 1
+        if end_pos is not None:
+            n = self._reanchor_samples(mode, end_pos)
+            if n < 0:               # stream fast: drop samples to realign
+                self._skip[mode] += -n
+            elif n > 0:             # stream slow: next window reuses tail
+                cap = self._buffers[mode].shape[1]
+                self._buffers[mode][:, :n] = job.audio[:, cap - n:]
+                self._written[mode] = n
 
     def _flush_partials(self) -> None:
         """On end-of-stream, emit any window at least half filled (replay

@@ -105,6 +105,7 @@ class ShmSource:
         self.lo_freq = int(l0)
         self.num_blocks = nb
         self.live = True    # a timeout just means the writer is idle
+        self.overruns = 0   # blocks lost to writer lapping (metric)
         self._read_count = wc   # start at current head (like opening mid-stream)
         self._ring = np.ndarray(
             (nb, bis), dtype=np.complex64, buffer=self._shm.buf,
@@ -128,8 +129,11 @@ class ShmSource:
             time.sleep(self.POLL_S)
         wc = self._write_counter()
         # overrun: if the writer lapped us, skip to the oldest safe block
+        # and COUNT the loss — silent skips were a round-2 finding
         if wc - self._read_count >= self.num_blocks:
-            self._read_count = wc - self.num_blocks + 1
+            skip_to = wc - self.num_blocks + 1
+            self.overruns += skip_to - self._read_count
+            self._read_count = skip_to
         block = np.array(self._ring[self._read_count % self.num_blocks])
         self._read_count += 1
         return block

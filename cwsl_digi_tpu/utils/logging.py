@@ -129,7 +129,10 @@ class ScreenPrinter:
             self._logfile_handle.flush()
 
     def _run(self) -> None:
-        while True:
+        from cwsl_digi_tpu.utils import qos
+
+        qos.set_current_thread_nice(qos.IDLE)   # ≙ idle-prio print thread,
+        while True:                             # ScreenPrinter / :1191
             try:
                 line = self._queue.get(timeout=self.FLUSH_INTERVAL_S)
             except queue.Empty:

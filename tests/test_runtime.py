@@ -348,3 +348,151 @@ loglevel=1
         dec = factory(mode)
         assert dec.spec.fmax_hz == 2000.0, mode
     assert factory(Mode.FST4W_120).spec.fmax_hz == 1600.0
+
+
+def test_reanchor_tracks_utc_under_clock_error():
+    """±50 ppm SDR clock error over a simulated hour: window boundaries
+    stay within ±0.1 s of nominal UTC (the reference re-syncs every window
+    via wall-clock buffer swaps, source/Instance.cpp:203-221)."""
+    from cwsl_digi_tpu.sdr.source import SyntheticSource
+
+    fs, lo = 48_000, 14_077_000
+    trp = 15.0
+    cap = int(trp * 12_000)
+
+    for ppm in (50e-6, -50e-6):
+        src = SyntheticSource(fs, lo, block_size=fs // 4)
+        src.live = True     # re-anchoring applies to live sources only
+
+        class _P:
+            def __init__(self):
+                self.jobs = []
+
+            def push(self, job):
+                self.jobs.append(job)
+
+        pool = _P()
+        rx = Receiver(src, [DecoderLine(14_074_000, Mode.FT8)], pool,
+                      utc_anchor=0.0)
+
+        # simulate: the SDR delivers audio at 12000*(1+ppm) samples per
+        # true wall second; stamp ingest wall accordingly
+        state = {"audio_in": 0}
+
+        def stamp():
+            if state["audio_in"] == 0:
+                return None
+            wall = state["audio_in"] / (12_000.0 * (1.0 + ppm))
+            return state["audio_in"] * rx._dec_ratio, wall
+
+        rx._ingest_stamp = stamp
+
+        mis = []
+        orig = rx._reanchor_samples
+
+        def spy(mode, end_pos):
+            iq_in, wall = rx._ingest_stamp()
+            audio_in = iq_in / rx._dec_ratio
+            wall_at_end = wall - (audio_in - end_pos) / 12_000.0
+            nominal_end = rx._epoch0[mode] + rx._window_index[mode] * trp
+            mis.append(wall_at_end - nominal_end)
+            return orig(mode, end_pos)
+
+        rx._reanchor_samples = spy
+
+        chunk = np.zeros((1, 12_000), np.float32)   # 1 stream-second
+        for _ in range(3600):
+            state["audio_in"] += chunk.shape[1]
+            rx._accumulate(chunk)
+
+        assert len(pool.jobs) > 200
+        # drift never exceeds the ±0.1 s bound at any boundary
+        assert max(abs(m) for m in mis) < 0.1, (ppm, max(mis), min(mis))
+        # and it is actively corrected, not just slow: uncorrected drift
+        # at hour end would be 3600*50e-6 = 0.18 s
+        assert abs(mis[-1]) < 0.05, (ppm, mis[-1])
+
+
+def test_ingest_ring_decouples_slow_channelizer():
+    """A stalled channelize step must not lose source blocks: the ingest
+    thread keeps draining the source into the ~3 s ring (backpressure,
+    reference Receiver.hpp:222-229), and every sample still comes out in
+    order once the stall clears (round-2 finding: device call on the
+    ingest thread let the shm ring get lapped silently)."""
+    import time as _time
+
+    from cwsl_digi_tpu.runtime import receiver as rxmod
+
+    fs = 48_000
+    n_blocks = 24
+    blk = fs // 8    # 0.125 s per block -> 3 s of data
+
+    class _SeqSource:
+        sample_rate = fs
+        lo_freq = 14_077_000
+        block_size = blk
+        live = False
+        overruns = 0
+
+        def __init__(self):
+            self.emitted = 0
+
+        def read_block(self, timeout=1.0):
+            if self.emitted >= n_blocks:
+                return None
+            v = np.arange(self.emitted * blk, (self.emitted + 1) * blk,
+                          dtype=np.float32)
+            self.emitted += 1
+            return (v + 0j).astype(np.complex64)
+
+    class _P:
+        def __init__(self):
+            self.jobs = []
+
+        def push(self, job):
+            self.jobs.append(job)
+
+    rx = Receiver(_SeqSource(), [DecoderLine(14_074_000, Mode.FT8)], _P(),
+                  utc_anchor=0.0)
+    seen = []
+    orig_process = rx.process_iq
+
+    def slow_process(block):
+        seen.append(np.asarray(block).real.copy())
+        _time.sleep(0.05)   # a slow device dispatch
+
+    rx.process_iq = slow_process
+    rx.init()
+    deadline = _time.monotonic() + 15
+    while rx.status == rxmod.Status.RUNNING and _time.monotonic() < deadline:
+        _time.sleep(0.05)
+    rx.terminate()
+
+    got = np.concatenate(seen) if seen else np.zeros(0)
+    assert len(got) == n_blocks * blk, (len(got), n_blocks * blk)
+    # in order, nothing lost
+    np.testing.assert_array_equal(got, np.arange(n_blocks * blk,
+                                                 dtype=np.float32))
+    assert rx.overruns == 0
+
+
+def test_shm_overruns_are_counted(tmp_path):
+    """When a live shm writer laps a stalled reader, the skipped blocks
+    surface as ShmSource.overruns instead of a silent index jump."""
+    from cwsl_digi_tpu.sdr.shm import ShmSource, ShmWriter
+
+    name = f"test_ovr_{np.random.randint(1 << 30)}"
+    w = ShmWriter(name, sample_rate=48_000, block_in_samples=1024,
+                  l0=14_000_000, num_blocks=4)
+    try:
+        src = ShmSource(name)
+        blk = np.zeros(1024, np.complex64)
+        w.write_block(blk)
+        assert src.read_block(timeout=0.2) is not None
+        for _ in range(9):     # lap the 4-block ring twice over
+            w.write_block(blk)
+        assert src.read_block(timeout=0.2) is not None
+        assert src.overruns == 6   # 9 written, ring holds 3 readable
+        src.close()
+    finally:
+        w.close(unlink=True)
