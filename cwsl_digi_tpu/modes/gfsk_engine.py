@@ -715,10 +715,13 @@ class GFSKDecoder:
             / 256.0 - 64.0,
         }
 
-    def decode_arrays_device(self, audio) -> dict[str, jax.Array]:
+    def decode_arrays_device(self, audio,
+                             spec: ModeSpec | None = None
+                             ) -> dict[str, jax.Array]:
         """Run the decode program; audio may be host numpy OR device-resident
         (a residual from :func:`subtract.subtract_known`) — device audio is
         never round-tripped through the host."""
+        spec = spec or self.spec
         if not isinstance(audio, jax.Array):
             audio = jnp.asarray(np.asarray(audio, dtype=np.float32))
         elif audio.dtype != jnp.float32:
@@ -740,7 +743,7 @@ class GFSKDecoder:
                     [chunk, jnp.zeros((cpad - c, chunk.shape[1]),
                                       chunk.dtype)])
             out = decode_program(
-                self.spec, (chunk.shape[1],), chunk,
+                spec, (chunk.shape[1],), chunk,
                 self._crc_mat, self._bitmaps, self._window, self.bp,
                 self._data_syms, self._ap_mask, self._ap_vals,
                 self._dft_mat_dev,
@@ -764,30 +767,46 @@ class GFSKDecoder:
         """
         from cwsl_digi_tpu.modes.base import DecodeResult
 
-        audio = np.asarray(audio, dtype=np.float32)
-        if audio.ndim == 1:
-            audio = audio[None, :]
+        if isinstance(audio, jax.Array):
+            # device-resident audio (e.g. straight from the channelizer):
+            # no host round trip at all
+            audio_dev = audio.astype(jnp.float32)
+            if audio_dev.ndim == 1:
+                audio_dev = audio_dev[None, :]
+            n_windows = audio_dev.shape[0]
+        else:
+            audio = np.asarray(audio, dtype=np.float32)
+            if audio.ndim == 1:
+                audio = audio[None, :]
+            n_windows = audio.shape[0]
+            # upload ONCE, as peak-scaled int16 — exactly the audio format
+            # the reference feeds jt9 (Instance::prepareAudio,
+            # source/Instance.cpp:294-338).  Halves the wire vs f32 (the
+            # tunneled chip moves ~70 MB/s), the numpy cast vectorizes
+            # (unlike f16), decode is per-window scale-invariant, and the
+            # quantization floor sits ~45 dB under the window peak — below
+            # the noise floor of any decodable signal.  Every later pass
+            # rebuilds the residual on device from compact burst params
+            # (modes/subtract.py) — no per-pass host synthesis/re-upload.
+            # Passes stay separate dispatches (XLA schedules the fused
+            # mega-graph ~70% slower — measured), but nothing crosses back
+            # to the host until the single packed fetch at the end.
+            peak = np.abs(audio).max(axis=1, keepdims=True)
+            scaled = (audio * (32000.0 / np.maximum(peak, 1e-30))
+                      ).astype(np.int16)
+            audio_dev = jnp.asarray(scaled).astype(jnp.float32)
         depth = depth or self.spec.depth
         spec = self.spec
         n_payload = self._crc_mat.shape[0]
-        n_windows = audio.shape[0]
-        # upload ONCE (as f16: halves the transfer; quantization sits
-        # ~60 dB below the waveform, far under the noise floor of any
-        # decodable signal); every later pass rebuilds the residual on
-        # device from compact burst parameters (modes/subtract.py) — no
-        # per-pass host synthesis, no re-upload of the audio batch
-        # upload ONCE (as f16: halves the transfer; quantization sits
-        # ~60 dB below the waveform, far under the noise floor of any
-        # decodable signal); every later pass rebuilds the residual on
-        # device from compact burst parameters (modes/subtract.py).  Passes
-        # stay separate dispatches (XLA schedules the fused mega-graph
-        # ~70% slower — measured), but nothing crosses back to the host
-        # until the single packed fetch at the end.
-        audio_dev = jnp.asarray(audio.astype(np.float16)).astype(jnp.float32)
         work = audio_dev
         outs: list[dict[str, jax.Array]] = []
         for _pass in range(max(1, depth)):
-            outs.append(self.decode_arrays_device(work))
+            # later passes search the residual AFTER the strong signals
+            # are subtracted — few survivors remain, so a quarter of the
+            # pass-1 candidate budget finds them at ~1/4 the device time
+            # (jt9 -d3's subtraction passes likewise re-scan shallower)
+            outs.append(self.decode_arrays_device(
+                work, self._later_pass_spec if _pass else None))
             if _pass + 1 >= depth:
                 break
             if not bool(np.asarray(jnp.any(outs[-1]["valid"]))):
@@ -807,34 +826,52 @@ class GFSKDecoder:
         out = self._parse_packed(
             np.asarray(_merge_and_pack(tuple(outs))), n_info)
 
-        seen: list[dict[bytes, DecodeResult]] = [dict() for _ in range(n_windows)]
         # sparse iteration: decodes only (the K axis can be 512+ per
-        # window, with a handful of valid entries)
+        # window, with a handful of valid entries).  Dedup BEFORE message
+        # unpacking: passes and OSD produce many duplicate valid slots per
+        # signal, and unpack is the expensive host step (~60 us each;
+        # deduping first cuts busy-band host time ~13x).
+        seen: list[dict[bytes, tuple[float, int]]] = [
+            dict() for _ in range(n_windows)]
         for wi, k in np.argwhere(out["valid"]):
-            payload = np.asarray(out["payload"][wi, k, :n_payload])
-            key = np.packbits(payload).tobytes()
-            dt = out["t0_hop"][wi, k] * spec.hop / WAVE_SR \
-                - spec.signal_start_s
-            freq = out["f0_bin"][wi, k] * spec.bin_hz
-            r = DecodeResult(
-                message=self.unpack(payload),
-                snr_db=round(float(out["snr"][wi, k]), 1),
-                dt_s=round(float(dt), 2),
-                freq_hz=round(float(freq), 1),
-                score=float(out["score"][wi, k]),
-                mode=self.mode,
-                payload_bits=payload.copy(),
-            )
+            key = np.packbits(
+                out["payload"][wi, k, :n_payload].astype(np.uint8)).tobytes()
+            score = float(out["score"][wi, k])
             prev = seen[wi].get(key)
-            if prev is None or r.score > prev.score:
-                seen[wi][key] = r
-        return [sorted(s.values(), key=lambda r: -r.score) for s in seen]
+            if prev is None or score > prev[0]:
+                seen[wi][key] = (score, int(k))
+        results = []
+        for wi in range(n_windows):
+            rs = []
+            for score, k in seen[wi].values():
+                payload = np.asarray(out["payload"][wi, k, :n_payload])
+                dt = out["t0_hop"][wi, k] * spec.hop / WAVE_SR \
+                    - spec.signal_start_s
+                freq = out["f0_bin"][wi, k] * spec.bin_hz
+                rs.append(DecodeResult(
+                    message=self.unpack(payload),
+                    snr_db=round(float(out["snr"][wi, k]), 1),
+                    dt_s=round(float(dt), 2),
+                    freq_hz=round(float(freq), 1),
+                    score=score,
+                    mode=self.mode,
+                    payload_bits=payload.copy(),
+                ))
+            results.append(sorted(rs, key=lambda r: -r.score))
+        return results
 
     # most known bursts subtractable per window (crowded-band headroom;
     # beyond this, the strongest bursts are kept).  Each burst is one step
     # of the sequential device scan (~10 ms per step at FT8 size), so this
     # trades tail-of-pileup recall against decode latency.
     SUB_MAX = 16
+
+    @functools.cached_property
+    def _later_pass_spec(self) -> "ModeSpec":
+        # half the pass-1 budget: //4 measurably lost ~0.2 busy-band
+        # decodes/window; //2 matched full-K recall at half the cost
+        return dataclasses.replace(
+            self.spec, top_k=min(self.spec.top_k, max(128, self.spec.top_k // 2)))
 
     @functools.cached_property
     def _hash_w(self) -> jax.Array:

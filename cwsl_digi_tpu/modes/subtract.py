@@ -233,5 +233,24 @@ def subtract_known(spec, audio, params, gen_parity):
 
     xs = (jnp.moveaxis(infos, 1, 0), jnp.moveaxis(t0_hops, 1, 0),
           jnp.moveaxis(f0_bins, 1, 0), jnp.moveaxis(valid, 1, 0))
-    res, _ = jax.lax.scan(step, res0, xs)
+    # while_loop instead of a fixed-M scan: select_subtract_params orders
+    # valid bursts first per window (top_k over -inf-masked scores), so
+    # the first step with no valid burst in ANY window ends the work — a
+    # 5-signal band pays ~6 refit steps instead of the full M=16
+    m_total = xs[3].shape[0]
+
+    def cond(carry):
+        res, m = carry
+        ok_m = jax.lax.dynamic_index_in_dim(xs[3], jnp.minimum(
+            m, m_total - 1), keepdims=False)
+        return (m < m_total) & jnp.any(ok_m != 0)
+
+    def body(carry):
+        res, m = carry
+        xs_m = tuple(jax.lax.dynamic_index_in_dim(a, m, keepdims=False)
+                     for a in xs)
+        res, _ = step(res, xs_m)
+        return res, m + 1
+
+    res, _ = jax.lax.while_loop(cond, body, (res0, jnp.int32(0)))
     return res[:, margin : margin + nb].reshape(B, t_pad_len)[:, :T]
