@@ -70,7 +70,9 @@ _DEFAULTS: dict[str, dict[str, Any]] = {
     # framework-specific section (not in the reference's config.ini):
     # TPU compute-backend knobs
     "tpu": {
-        "channelizer": "xla",         # xla | pallas (bench.py compares)
+        "channelizer": "xla",         # xla only: the pallas kernel lost
+                                      # the bench-off and was demoted
+                                      # (bench.py still measures both)
     },
     "reporting": {
         "pskreporter": False,

@@ -1,8 +1,20 @@
 """Pallas TPU kernel: fused NCO mix + polyphase FIR decimation.
 
-The Pallas backend for the batched channelizer (same math as
-``channelizer.py`` — reference contract source/SSBD.hpp:97-183).  One kernel
-instance processes a (channel-tile x time-tile) block:
+STATUS: measured experiment, NOT on the runtime path.  Bench-offs on a
+v5e chip (bench.py, 256 channels @ 192 kHz) measured this kernel at
+12.4-12.65 us/channel-second vs XLA's batched polyphase matmul at
+3.9-4.3 — and a round-3 restructure (whole-tile block-diagonal MXU dot,
+K=128) regressed further to 20.7, so the per-channel-dot form below is
+kept.  XLA wins because its [C*blocks, BS] @ [BS, NWS] formulation gets a
+huge M dimension to amortize the K=16 contraction, while a Pallas tile
+is bounded by VMEM; the fusion win this kernel was built for (mixed
+signal never touching HBM) does not make up the difference.  Kept as a
+documented kernel-engineering record with its parity tests
+(tests/test_pallas_channelizer.py); the runtime uses BatchChannelizer.
+
+Math parity with ``channelizer.py`` (reference contract
+source/SSBD.hpp:97-183).  One kernel instance processes a
+(channel-tile x time-tile) block:
 
   - the raw IQ tile (with its FIR halo of *past* samples) is DMA'd from HBM
     once per (channel-tile, time-tile) and the NCO tone is one complex

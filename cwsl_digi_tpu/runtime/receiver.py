@@ -160,24 +160,18 @@ class Receiver:
                 raise ValueError(
                     f"decoder {line.freq} {line.mode.value} outside source band"
                 )
-        # backend selection (config [tpu] channelizer = xla | pallas).
-        # Measured on a v5e chip (bench.py): XLA 4.1 us/channel-second vs
-        # Pallas 12.4 — XLA's fused polyphase matmul wins, so it is the
-        # default; the Pallas kernel stays as a selectable alternative.
-        if channelizer == "pallas":
-            from cwsl_digi_tpu.dsp.pallas_channelizer import (
-                TILE_C, PallasChannelizer)
-
-            # pad the channel list up to the kernel's channel tile; the
-            # extra rows are computed but never referenced by any mode row
-            pad = (-len(freqs)) % TILE_C
-            self.chan = PallasChannelizer(fs, freqs + [0.0] * pad)
-            self._sub_gran = self.chan.tile_t
-        elif channelizer == "xla":
-            self.chan = BatchChannelizer(fs, freqs)
-            self._sub_gran = self.chan._sub
-        else:
-            raise ValueError(f"unknown channelizer backend {channelizer!r}")
+        # Channelizer backend: XLA only.  The hand-written Pallas kernel
+        # (dsp/pallas_channelizer.py) was measured repeatedly slower than
+        # XLA's fused polyphase matmul on a v5e chip (12.4-20.7 vs
+        # 3.9-4.3 us/channel-second across two kernel formulations;
+        # bench.py records both every round), so it is demoted from the
+        # runtime path and kept only as a measured experiment.
+        if channelizer != "xla":
+            raise ValueError(
+                f"unknown channelizer backend {channelizer!r} (only 'xla'; "
+                "the pallas kernel lost the bench-off and was demoted)")
+        self.chan = BatchChannelizer(fs, freqs)
+        self._sub_gran = self.chan._sub
 
         # group channel rows by mode for window framing
         self._mode_rows: dict[Mode, list[int]] = {}
