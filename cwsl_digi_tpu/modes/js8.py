@@ -5,21 +5,23 @@ The reference invokes JS8Call's ``js8`` binary (source/DecoderPool.hpp:
 846-867) and classifies results with JS8Call's DecodedText/varicode sources
 (source/OutputHandler.cpp:403-503).  Native structure:
 
-  - identical timing to FT8: 79 symbols x 1920 samples, 15 s T/R, 8-GFSK —
-    but distinct 7x7 sync arrays so JS8 and FT8 never cross-decode;
+  - identical PHY to WSJT-X 1.8's FT8: 79 symbols x 1920 samples, 15 s
+    T/R, 8-GFSK, the SAME 7x7 Costas sync at symbols 0/36/72 (JS8 and FT8
+    are separated by their LDPC/CRC, not the sync);
   - LDPC(174,87): 87 info bits = 75 payload + 12 CRC (poly 0xC06);
   - payload: 3-bit frame type + 72 bits of content; the text frame carries
     12 characters of 6-bit varicode (charset below), the directed frame
     [c28 | c28 | cmd16] mirrors JS8's directed messages.
 
-Interop note: the sync arrays, LDPC(174,87) H and the 6-bit charset
-default to self-consistent stand-ins with the protocol's exact dimensions
-(js8call's real tables could not be reproduced bit-exactly from memory in
-this zero-egress environment).  Supply the published tables at runtime via
-``CWSL_DIGI_TPU_TABLES_DIR/{js8_costas,js8_ldpc_174_87}.txt``
-(modes/tables_ext.py); the remaining gap after that is js8call's
-variable-length huffman text coding, which this build replaces with a
-fixed 6-bit charset (a code change, documented here, not a table swap).
+Interop note: the sync (FT8's Costas array, on-air-exact here) and the
+12-bit CRC polynomial are real; the LDPC(174,87) H defaults to a
+self-consistent stand-in with the protocol's exact dimensions (the
+WSJT-X 1.8 matrix could not be reproduced bit-exactly from memory in this
+zero-egress environment) — supply the published table at runtime via
+``CWSL_DIGI_TPU_TABLES_DIR/js8_ldpc_174_87.txt`` (modes/tables_ext.py).
+The remaining gap after that is js8call's variable-length huffman text
+coding, which this build replaces with a fixed 6-bit charset (a code
+change, documented here, not a table swap).
 """
 
 from __future__ import annotations
@@ -40,16 +42,20 @@ NSYM = 79
 SPS = 1920
 T_R = 15.0
 def _costas_rows() -> tuple[tuple[int, ...], ...]:
-    """Three 7-tone sync rows (start/middle/end): the published js8call
-    arrays when supplied via CWSL_DIGI_TPU_TABLES_DIR/js8_costas.txt,
-    else the documented stand-in (distinct from FT8's so the two modes
-    never cross-decode, matching js8call's design intent)."""
+    """Three 7-tone sync rows (start/middle/end).
+
+    JS8 normal mode inherits WSJT-X 1.8's FT8 PHY wholesale — including
+    the 7x7 Costas array icos7 = (3,1,4,0,6,5,2) at symbols 0/36/72 (the
+    array FT8 still uses; this repo's FT8 is on-air-exact against it).
+    Cross-decode between JS8 and FT8 is prevented by the different LDPC
+    code + CRC, not by the sync.  A published js8call override can still
+    be supplied via CWSL_DIGI_TPU_TABLES_DIR/js8_costas.txt."""
     from cwsl_digi_tpu.modes import tables_ext
 
     ext = tables_ext.js8_costas()
     if ext is not None:
         return tuple(tuple(int(t) for t in row) for row in ext)
-    return ((4, 2, 5, 6, 1, 3, 0),) * 3
+    return ((3, 1, 4, 0, 6, 5, 2),) * 3
 
 
 _COSTAS_ROWS = _costas_rows()
