@@ -896,15 +896,18 @@ class GFSKDecoder:
         """Subtract one decoded burst in place (host oracle; the production
         path is the device scan in :mod:`cwsl_digi_tpu.modes.subtract`).
 
-        A per-symbol gain fit would also soak up overlapping *other* signals
-        (two tones a few Hz apart correlate strongly over one symbol), so a
-        single global complex gain is fitted over the whole burst — but such
-        a fit only bites if the frequency is right to ~1/(2*burst_len) Hz
-        and the start to a few tens of samples, far tighter than the search
-        grid.  Joint (df, dt) refinement from per-symbol correlation pair
-        phases: same-tone pairs see only 2*pi*df*T_sym (time error cancels
-        since both symbols sit on the same frequency), tone-change pairs see
-        2*pi*spacing*dtone*dt once df is removed.
+        Joint (df, dt) refinement from per-symbol correlation pair phases:
+        same-tone pairs see only 2*pi*df*T_sym (time error cancels since
+        both symbols sit on the same frequency), tone-change pairs see
+        2*pi*spacing*dtone*dt once df is removed.  The gain is then fitted
+        per symbol and smoothed over GAIN_SMOOTH_SYMS symbols (wsjt-x
+        subtractft8's low-passed complex amplitude): the df estimators are
+        noise-limited to ~0.05 Hz, which decoheres a single global gain
+        over a full burst (see modes/subtract.py docstring for the
+        measured failure), while a raw 1-symbol gain would soak
+        overlapping other signals — the smoothing window is the
+        compromise that tracks residual drift without absorbing
+        neighbors.
         """
         from cwsl_digi_tpu.modes.gfsk import gfsk_modulate_iq
 
@@ -953,11 +956,16 @@ class GFSKDecoder:
             if abs(df) < spec.bin_hz:
                 df_tot += df
 
-        seg, inb, zc, _ = corr(start, df_tot)
-        denom = float(inb.sum())
-        if denom <= 0:
+        seg, inb, zc, c = corr(start, df_tot)
+        if inb.sum() <= 0:
             return
-        a = 2.0 * np.dot(seg, np.conj(zc)) / denom
-        sub = np.real(a * zc) * inb
+        from cwsl_digi_tpu.modes.subtract import GAIN_SMOOTH_SYMS
+
+        cnt = inb.reshape(-1, sps).sum(1).astype(np.float64)
+        kern = np.ones(GAIN_SMOOTH_SYMS)
+        num = np.convolve(c, kern, mode="same")
+        den = np.maximum(np.convolve(cnt, kern, mode="same"), 1.0)
+        g = 2.0 * num / den                       # [n_sym] complex gain
+        sub = np.real(np.repeat(g, sps) * zc) * inb
         pos = np.clip(start + n, 0, len(audio) - 1)
         np.subtract.at(audio, pos, sub.astype(np.float32))
