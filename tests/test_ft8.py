@@ -102,6 +102,28 @@ def test_multipass_subtraction_uncovers_buried_signal():
     assert {strong, weak} <= msgs3
 
 
+def test_subtraction_residual_does_not_mask_distant_weak_signal():
+    """Regression: the global-gain subtraction decohered on the df
+    estimator's ~0.05 Hz residual error, leaving a strong burst's power
+    essentially intact and masking weak signals HUNDREDS of Hz away.
+    The time-varying (per-symbol smoothed) gain must cancel a -8 dB
+    burst to the noise floor so a -19 dB signal 376 Hz below survives
+    depth-2 decoding (seed chosen adversarially from a failing run)."""
+    weak, strong = 'FT0R GH8YJI AP27', 'GB1EVW TC1TSV HP66'
+    wlen = int(ft8.T_R * 12_000)
+    noise_power = 0.5 / 2500.0 * (12_000 / 2.0)
+    rng = np.random.default_rng(1000 - 19)
+    noise = rng.standard_normal(wlen) * np.sqrt(noise_power)
+    win = (noise
+           + 10.0 ** (-19 / 20.0) * ft8.synthesize(weak, 1332.74, start_s=0.64)
+           + 10.0 ** (-8.0 / 20.0) * ft8.synthesize(strong, 1708.55,
+                                                    start_s=0.79)
+           ).astype(np.float32)
+    dec = ft8.FT8Decoder()
+    msgs = {r.message for r in dec.decode(win)[0]}
+    assert {weak, strong} <= msgs
+
+
 def test_crowded_band_capacity():
     """Many overlapping signals across a 20 dB dynamic range: the hybrid
     candidate selection + iterative refit subtraction must pull out a solid
