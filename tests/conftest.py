@@ -18,3 +18,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache: the long-period FST4 decode tests compile
+# multi-minute XLA programs (21.6 M-sample windows); cache makes those
+# one-time per machine so the suite stays fast on re-runs.
+from cwsl_digi_tpu import jaxcache  # noqa: E402
+
+jaxcache.enable()

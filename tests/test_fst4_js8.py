@@ -45,6 +45,48 @@ def test_fst4w_120_decode():
     assert res and res[0].message == text
 
 
+def _long_period_roundtrip(mode: Mode, snr_db: float, f0: float,
+                           text: str, seed: int) -> None:
+    """Synthesize -> add noise at `snr_db` -> full decode, one window.
+
+    Execution evidence for the long T/R periods the reference runs via
+    ``jt9 -7/-W -p {300,900,1800}`` (source/DecoderPool.hpp:490-573,
+    649-659): a 900 s window is 10.8 M samples and 1800 s is 21.6 M
+    samples through the rfft spectrogram path — these tests prove memory
+    fit, sync, demod, and FEC end-to-end, not just spec construction.
+    """
+    rng = np.random.default_rng(seed)
+    clean = fst4.synthesize(text, mode, f0, start_s=1.0)
+    win = add_noise_at_snr(clean, snr_db, 12000, rng)
+    res = fst4.FST4Decoder(mode).decode(win[None, :])[0]
+    assert any(r.message == text for r in res), (mode, snr_db, res)
+
+
+def test_fst4_300_decode():
+    _long_period_roundtrip(Mode.FST4_300, -20.0, 1000.0,
+                           "K1ABC W9XYZ EN37", 0)
+
+
+def test_fst4_900_decode():
+    _long_period_roundtrip(Mode.FST4_900, -24.0, 1000.0,
+                           "K1ABC W9XYZ EN37", 0)
+
+
+def test_fst4_1800_decode():
+    _long_period_roundtrip(Mode.FST4_1800, -26.0, 1000.0,
+                           "K1ABC W9XYZ EN37", 0)
+
+
+def test_fst4w_300_decode():
+    _long_period_roundtrip(Mode.FST4W_300, -24.0, 1500.0,
+                           "K1ABC FN42 30", 0)
+
+
+def test_fst4w_1800_decode():
+    _long_period_roundtrip(Mode.FST4W_1800, -28.0, 1500.0,
+                           "K1ABC FN42 30", 0)
+
+
 def test_fst4_noise_rejection():
     dec = fst4.FST4Decoder(Mode.FST4_60, top_k=16, bp_iters=20)
     rng = np.random.default_rng(2)
