@@ -74,6 +74,7 @@ SPEC = ModeSpec(
     pad_hops=128,
     os_t=8,
     os_f=4,
+    refine=True,
 )
 
 

@@ -19,9 +19,13 @@ self-consistent stand-in with the protocol's exact dimensions (the
 WSJT-X 1.8 matrix could not be reproduced bit-exactly from memory in this
 zero-egress environment) — supply the published table at runtime via
 ``CWSL_DIGI_TPU_TABLES_DIR/js8_ldpc_174_87.txt`` (modes/tables_ext.py).
-The remaining gap after that is js8call's variable-length huffman text
-coding, which this build replaces with a fixed 6-bit charset (a code
-change, documented here, not a table swap).
+Free text rides js8call's variable-length huffman varicode
+(modes/js8_varicode.py): the stream machinery (prefix-free codes, EOT
+mark, zero-padded frame tail) is exact, the default codebook is a
+documented stand-in, and ``js8_varicode.txt`` swaps in the real one —
+so a table drop (LDPC + codebook), not a code change, makes JS8 fully
+on-air.  The fixed 6-bit charset frame remains as the fallback for text
+outside the codebook.
 """
 
 from __future__ import annotations
@@ -90,12 +94,14 @@ SPEC = ModeSpec(
     bp_iters=30,
     max_hops=128,
     pad_hops=64,
+    refine=True,
 )
 
 FRAME_TEXT = 0
 FRAME_DIRECTED = 1
 FRAME_HEARTBEAT = 2
 FRAME_COMPOUND = 3
+FRAME_TEXT_HUFF = 4       # huffman-varicode text (modes/js8_varicode.py)
 
 # directed-message commands (JS8Call's directed grammar, classified by the
 # reference via js8call's DecodedText/varicode, OutputHandler.cpp:403-503).
@@ -172,8 +178,11 @@ def pack_payload(text: str) -> np.ndarray:
     - ``FROM:`` with a compound (nonstandard) callsign -> compound
       announce frame (base-38 c58, like JS8Call's two-frame compound
       flow — grid/text follows in the next frame);
-    - anything else -> 12-char varicode text frame (relay paths
-      ``A> B> text`` ride as text, classified by :func:`classify`).
+    - anything else -> free text: huffman-varicode frame when the whole
+      text fits the 72-bit budget (modes/js8_varicode.py), else the
+      fixed 6-bit charset frame truncated to 12 chars (relay paths
+      ``A> B> text`` ride as text, classified by :func:`classify`;
+      multi-frame conversations go through :func:`pack_text_frames`).
     """
     t = text.strip().upper()
     words = t.split()
@@ -231,6 +240,16 @@ def pack_payload(text: str) -> np.ndarray:
                     return np.asarray(bits, np.uint8)
                 except ValueError:
                     pass
+    # free text: huffman varicode first (JS8Call's text layer — variable
+    # code lengths fit ~18-24 common chars in the 72-bit budget vs the
+    # fixed charset's 12); the 6-bit charset frame remains the fallback
+    # for text the codebook cannot carry
+    from cwsl_digi_tpu.modes import js8_varicode
+
+    hbits = js8_varicode.encode(t, budget=72)
+    if hbits is not None:
+        return np.asarray(
+            message77.bits_from_int(FRAME_TEXT_HUFF, 3) + hbits, np.uint8)
     bits = [0, 0, 0]  # frame type TEXT
     content = t[:12].ljust(12)
     v = 0
@@ -238,6 +257,30 @@ def pack_payload(text: str) -> np.ndarray:
         v = v * 64 + (VARICODE.index(ch) if ch in VARICODE else 0)
     bits += message77.bits_from_int(v, 72)
     return np.asarray(bits, np.uint8)
+
+
+def pack_text_frames(text: str) -> list[np.ndarray]:
+    """Chunk free text into as few huffman text frames as fit (JS8Call
+    sends long conversations across consecutive 15 s frames).  Each frame
+    is self-delimiting (EOT-terminated); reassembly is concatenation of
+    the per-frame decodes in cadence order."""
+    from cwsl_digi_tpu.modes import js8_varicode
+
+    t = text.strip().upper()
+    frames: list[np.ndarray] = []
+    while t:
+        take = len(t)
+        while take > 0 and js8_varicode.encode(t[:take], budget=72) is None:
+            take -= 1
+        if take == 0:       # leading char outside the codebook: 6-bit frame
+            frames.append(pack_payload(t[:12]))
+            t = t[12:]
+            continue
+        frames.append(np.asarray(
+            message77.bits_from_int(FRAME_TEXT_HUFF, 3)
+            + js8_varicode.encode(t[:take], budget=72), np.uint8))
+        t = t[take:]
+    return frames or [pack_payload("")]
 
 
 def unpack_payload(bits: np.ndarray) -> str | None:
@@ -250,6 +293,10 @@ def unpack_payload(bits: np.ndarray) -> str | None:
             chars.append(VARICODE[v % 64])
             v //= 64
         return "".join(reversed(chars)).strip()
+    if ftype == FRAME_TEXT_HUFF:
+        from cwsl_digi_tpu.modes import js8_varicode
+
+        return js8_varicode.decode(bits[3:75]).strip()
     if ftype == FRAME_DIRECTED:
         c1 = message77.int_from_bits(bits[3:31])
         c2 = message77.int_from_bits(bits[31:59])

@@ -69,7 +69,9 @@ def _sync_vector() -> np.ndarray:
 
 
 SYNC = _sync_vector()
-SYNC_IS_PUBLISHED = True
+# provenance, not aspiration: False when a user override differs from the
+# embedded published vector (advisor round 3)
+SYNC_IS_PUBLISHED = bool(np.array_equal(SYNC, _PUBLISHED_SYNC))
 SYNC_SYMS = tuple(int(i) for i in np.nonzero(SYNC)[0])
 DATA_SYMS = tuple(int(i) for i in np.nonzero(1 - SYNC)[0])
 assert len(DATA_SYMS) == N_DATA

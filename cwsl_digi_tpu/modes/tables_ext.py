@@ -1,24 +1,29 @@
 """Runtime loader for user-supplied published protocol tables.
 
-Two large table sets could not be reconstructed bit-exactly from memory
-in this zero-egress build environment (each IS fully published; the
-per-mode headers cite where); the others listed here are embedded from
-the published sources and the files act as cross-check overrides:
+Three table sets could not be reconstructed bit-exactly from memory in
+this zero-egress build environment and remain STAND-INS until a user
+drops in the published file: ``js8_ldpc_174_87.txt``,
+``fst4_ldpc_240_101.txt``, and ``q65_qra_63_13.txt`` (each IS fully
+published; the per-mode headers cite where).  The JS8 huffman varicode
+text layer additionally defaults to a best-recall table (modes/js8_varicode.py,
+override ``js8_varicode.txt``).  The other rows below are EMBEDDED from
+the published sources and their files act as cross-check overrides:
 
   =====================  =====================================  ==========
-  file name              contents                               used by
+  file name              contents (E = embedded + override,     used by
+                         S = stand-in until supplied)
   =====================  =====================================  ==========
-  jt65_sync.txt          126 x 0/1 pseudo-random sync vector    modes/jt65
-                         (WSJT-X lib/jt65_mod npr; QEX 2005 —
-                         EMBEDDED in modes/jt65.py; file is an
-                         override)
-  js8_costas.txt         7 (or 3 rows of 7) Costas tones        modes/js8
-                         (js8call lib/js8/js8_params)
-  js8_ldpc_174_87.txt    87 rows x 174 cols 0/1 parity-check H  modes/js8
+  jt65_sync.txt          E  126 x 0/1 pseudo-random sync        modes/jt65
+                         vector (WSJT-X lib/jt65_mod npr;
+                         QEX 2005 — embedded in modes/jt65.py)
+  js8_costas.txt         E  7 (or 3 rows of 7) Costas tones     modes/js8
+                         (JS8 normal mode reuses FT8's Costas
+                         array — embedded in modes/js8.py)
+  js8_ldpc_174_87.txt    S  87 rows x 174 cols 0/1 parity H     modes/js8
                          (WSJT-X 1.8 lib/ft8/ldpc_174_87*)
-  fst4_ldpc_240_101.txt  139 rows x 240 cols 0/1 H              modes/fst4
+  fst4_ldpc_240_101.txt  S  139 rows x 240 cols 0/1 H           modes/fst4
                          (WSJT-X lib/fst4/ldpc_240_101*)
-  q65_qra_63_13.txt      50 rows x 63 cols GF(64) exponents      modes/q65
+  q65_qra_63_13.txt      S  50 rows x 63 cols GF(64) exponents  modes/q65
                          0..63 dense H (0 = absent; IV3NWV
                          qracodes qra15_65_64_irr_e23 family)
   =====================  =====================================  ==========
@@ -150,6 +155,39 @@ def js8_parity() -> np.ndarray | None:
 def fst4_parity() -> np.ndarray | None:
     """FST4/FST4W LDPC(240,101) parity-check matrix, or None."""
     return _validated_parity("fst4_ldpc_240_101.txt", 139, 240)
+
+
+@functools.lru_cache(maxsize=None)
+def js8_varicode() -> dict[str, str] | None:
+    """JS8Call huffman codebook from ``js8_varicode.txt``, or None.
+
+    One pair per line: ``<token> <bits>`` where ``SP`` is the space
+    character, ``EOT`` the end-of-transmission mark, anything else a
+    literal single character.  Validated prefix-free before acceptance.
+    """
+    d = tables_dir()
+    if d is None:
+        return None
+    p = d / "js8_varicode.txt"
+    if not p.is_file():
+        return None
+    from cwsl_digi_tpu.modes.js8_varicode import EOT, validate_table
+
+    table: dict[str, str] = {}
+    for line in p.read_text().splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line:
+            continue
+        parts = line.split()
+        if len(parts) != 2:
+            raise ValueError(f"js8_varicode.txt: bad line {line!r}")
+        tok, bits = parts
+        ch = {"SP": " ", "EOT": EOT}.get(tok, tok)
+        if len(ch) != 1:
+            raise ValueError(f"js8_varicode.txt: bad token {tok!r}")
+        table[ch.upper() if ch.isalpha() else ch] = bits
+    validate_table(table)
+    return table
 
 
 @functools.lru_cache(maxsize=None)

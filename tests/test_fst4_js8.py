@@ -101,6 +101,70 @@ def test_js8_payload_roundtrip():
         assert js8.unpack_payload(bits) == text[:12].strip()
 
 
+def test_js8_varicode_huffman_layer():
+    """The huffman varicode machinery (JS8Call varicode.cpp analogue,
+    compiled into the reference via CWSL_DIGI.vcxproj:22-24): prefix-free
+    codebook, EOT termination, zero-padded tail, frame-budget packing."""
+    from cwsl_digi_tpu.modes import js8_varicode as vc
+
+    table = vc.default_table()
+    vc.validate_table(table)                      # prefix-free, has EOT
+    assert set(table) == set(vc.ALPHABET)
+    # common chars get shorter codes than rare ones
+    assert len(table[" "]) < len(table["Z"])
+    assert len(table["E"]) < len(table["Q"])
+    # stream round trip with zero padding (the frame tail discipline)
+    for text in ["HELLO", "73 DE K1ABC", "SO? YES!", ""]:
+        bits = vc.encode(text, budget=72)
+        assert bits is not None and len(bits) == 72
+        assert vc.decode(bits) == text
+    # budget refusal
+    assert vc.encode("CQ CQ DE K1ABC K1ABC", budget=72) is None
+    # non-codebook char refusal (lowercase is folded, control chars not)
+    assert vc.encode("\x01", budget=72) is None
+
+
+def test_js8_huffman_beats_6bit_charset():
+    """Huffman text frames carry more than the 12-char fixed budget."""
+    text = "TO THE SEA AT TEN"                    # 17 chars, common letters
+    bits = js8.pack_payload(text)
+    assert bits.shape == (75,)
+    assert js8.unpack_payload(bits) == text       # no truncation
+
+
+def test_js8_multiframe_text_reassembly():
+    """Long conversations chunk across 15 s frames (JS8Call behavior);
+    concatenating the per-frame decodes reproduces the text exactly."""
+    msg = "CQ CQ DE K1ABC K1ABC PSE REPLY ON 7078"
+    frames = js8.pack_text_frames(msg)
+    assert len(frames) > 1
+    assert "".join(js8.unpack_payload(f) for f in frames) == msg
+
+
+def test_js8_varicode_override_roundtrip(tmp_path, monkeypatch):
+    """A user-supplied codebook (tables_ext js8_varicode.txt) replaces the
+    stand-in and the full pack->unpack path uses it."""
+    from cwsl_digi_tpu.modes import js8_varicode as vc
+    from cwsl_digi_tpu.modes import tables_ext
+
+    lines = []
+    for ch, code in vc.default_table().items():
+        tok = {" ": "SP", vc.EOT: "EOT"}.get(ch, ch)
+        lines.append(f"{tok} {code}")
+    (tmp_path / "js8_varicode.txt").write_text("\n".join(lines))
+    monkeypatch.setenv(tables_ext.ENV_VAR, str(tmp_path))
+    tables_ext.js8_varicode.cache_clear()
+    vc._active.cache_clear()
+    try:
+        assert vc.is_external()
+        text = "TEST VIA OVERRIDE"
+        assert vc.decode(vc.encode(text, budget=None)) == text
+    finally:
+        monkeypatch.delenv(tables_ext.ENV_VAR)
+        tables_ext.js8_varicode.cache_clear()
+        vc._active.cache_clear()
+
+
 def test_js8_directed_frames():
     for text in ["W2AXR: K1ABC SNR?", "K1ABC: W9XYZ HEARTBEAT",
                  "W2AXR: K1ABC 73", "W2AXR: K1ABC"]:

@@ -67,7 +67,9 @@ def test_loaders_pick_up_supplied_tables(tmp_path):
 
         assert np.array_equal(jt65.SYNC,
                               np.load(d + "/expect_sync.npy")), "jt65 sync"
-        assert jt65.SYNC_IS_PUBLISHED
+        # provenance flag: this override differs from the embedded
+        # published vector, so the flag must report False (advisor r3)
+        assert not jt65.SYNC_IS_PUBLISHED
         assert js8.COSTAS_JS8 == (0, 1, 2, 3, 4, 5, 6), "js8 costas"
         assert (0, 0) in js8.SPEC.sync_cells
         assert np.array_equal(js8.js8_code().h,
