@@ -15,12 +15,22 @@ sync pattern (q65.f90 isync), tone layout (sync at tone 0, data at
 1+value), and the 77-bit payload codec.
 
 Interop caveat (documented): the real Q65 inner code is QRA(63,13) — a
-q-ary repeat-accumulate code whose exact sparse matrix (IV3NWV's qracodes)
-could not be reproduced from memory in this zero-egress environment; this
-build uses a same-profile sparse GF(64) code (modes/qra.py) with the same
-message-passing decoder structure.  Supply the published dense H at
-runtime via ``CWSL_DIGI_TPU_TABLES_DIR/q65_qra_63_13.txt``
-(modes/tables_ext.py) for on-air interop — the decoder is table-driven.
+q-ary repeat-accumulate code whose exact sparse matrix (IV3NWV's
+qracodes) could not be reproduced from memory in this zero-egress
+environment; this build uses a same-profile sparse GF(64) code
+(modes/qra.py) with the same message-passing decoder structure.
+
+Algorithmic reconstruction was attempted and is NOT possible offline:
+the published qracodes tables (WSJT-X lib/qra/q65, qra13_64_64_irr_e23)
+are the *output* of IV3NWV's randomized irregular-RA design search
+(degree profile + random GF(64) edge weights + accumulator permutation,
+selected offline for girth/threshold), and only the resulting arrays are
+published — there is no deterministic generator to re-run.  The remedy
+is the table-driven path: supply the published dense H at runtime via
+``CWSL_DIGI_TPU_TABLES_DIR/q65_qra_63_13.txt`` (modes/tables_ext.py;
+format in README "Supplying published tables") and encode, decode, and
+subtraction all use it with no code change
+(tests/test_tables_ext.py proves the full flow with a foreign table).
 """
 
 from __future__ import annotations

@@ -56,11 +56,32 @@ SWEEPS: dict[str, dict] = {
     "Q65-30": dict(snrs=(-18, -21, -23, -24, -25, -26),
                    f0=(700.0, 1800.0), dt=(0.3, 1.0)),
     # FST4 search band follows the reference's jt9 invocation: 900-1100 Hz
-    # for 60/120 s (source/DecoderPool.hpp:490-534)
+    # for 60/120 s, 700-1100 for 300 s (source/DecoderPool.hpp:490-534);
+    # FST4W fixed 1400-1600 Hz (:536-567).  The long periods cap their
+    # trial counts (max_trials): a 1800 s window is 21.6 M samples, and
+    # the binomial noise floor matters less than proving the row decodes
+    # (every row of the reference's jt9 invocation matrix,
+    # DecoderPool.hpp:631-659, appears here).  Expected thresholds scale
+    # as 10*log10(period) from FST4-60 (constant Eb/N0: tone spacing and
+    # baud shrink together).
     "FST4-60": dict(snrs=(-18, -21, -23, -24, -25),
                     f0=(910.0, 1090.0), dt=(0.5, 1.5)),
+    "FST4-120": dict(snrs=(-23, -25, -26, -27, -28, -29),
+                     f0=(910.0, 1090.0), dt=(0.5, 1.5), max_trials=50),
+    "FST4-300": dict(snrs=(-26, -28, -30, -31, -32),
+                     f0=(710.0, 1090.0), dt=(0.5, 1.5), max_trials=24),
+    "FST4-900": dict(snrs=(-31, -33, -35, -36, -37),
+                     f0=(910.0, 1090.0), dt=(0.5, 1.5), max_trials=12),
+    "FST4-1800": dict(snrs=(-34, -36, -38, -39, -40),
+                      f0=(910.0, 1090.0), dt=(0.5, 1.5), max_trials=8),
     "FST4W-120": dict(snrs=(-24, -27, -29, -30, -31, -32),
                       f0=(1430.0, 1570.0), dt=(0.5, 1.5)),
+    "FST4W-300": dict(snrs=(-26, -28, -30, -31, -32),
+                      f0=(1430.0, 1570.0), dt=(0.5, 1.5), max_trials=24),
+    "FST4W-900": dict(snrs=(-31, -33, -35, -36, -37),
+                      f0=(1430.0, 1570.0), dt=(0.5, 1.5), max_trials=12),
+    "FST4W-1800": dict(snrs=(-34, -36, -38, -39, -40),
+                       f0=(1430.0, 1570.0), dt=(0.5, 1.5), max_trials=8),
     "JS8": dict(snrs=(-12, -16, -18, -20, -21),
                 f0=(600.0, 2400.0), dt=(0.2, 0.8)),
 }
@@ -121,7 +142,11 @@ def make_trial(mode: str, rng: np.random.Generator,
         from cwsl_digi_tpu.modes import ft4 as m
         return m.synthesize(text, f0, start_s=dt), text
     if mode == "JS8":
+        # realistic JS8 traffic is frame-exact directed/heartbeat messages
+        # (free text longer than one frame spans multiple 15 s frames and
+        # cannot round-trip through a single-window trial)
         from cwsl_digi_tpu.modes import js8 as m
+        text = f"{random_call(rng)}: {random_call(rng)} 73"
         return m.synthesize(text, f0, start_s=dt), text
     from cwsl_digi_tpu.modes import ft8 as m
     return m.synthesize(text, f0, start_s=dt), text
@@ -142,6 +167,7 @@ def sweep_mode(mode: str, trials: int, seed: int = 42,
 
     cfg = SWEEPS[mode]
     snrs = list(snrs if snrs is not None else cfg["snrs"])
+    trials = min(trials, cfg.get("max_trials", trials))
     rng = np.random.default_rng(seed)
     dec = get_decoder(mode)
 
