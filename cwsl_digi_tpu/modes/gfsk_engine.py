@@ -241,7 +241,14 @@ def _multisym_llrs(spec: ModeSpec, csym: jax.Array, rot: jax.Array,
         (csym.reshape(n_chunks, chunk, n_sym, n_tones),
          rot.reshape(n_chunks, chunk)),
     ).reshape(n_chunks * chunk, -1)[:m_all]
-    # per-candidate scale normalization (energies are scale-dependent)
+    # per-candidate scale normalization (energies are scale-dependent).
+    # Prescale by the max magnitude BEFORE the variance: long-FST4 frames
+    # at int16 scale put per-bin energies near 1e18, whose squares summed
+    # over n_bits overflow float32 inside jnp.std (inf std -> zero LLRs ->
+    # a strong FST4W-900/1800 burst silently failing to decode; found by
+    # the dryrun signal injection).
+    peak = jnp.max(jnp.abs(llr), axis=-1, keepdims=True)
+    llr = llr / (peak + 1e-20)
     std = jnp.std(llr, axis=-1, keepdims=True)
     return llr / (std + 1e-20) * 3.0
 

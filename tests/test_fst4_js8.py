@@ -87,6 +87,21 @@ def test_fst4w_1800_decode():
                            "K1ABC FN42 30", 0)
 
 
+def test_fst4w_900_strong_signal_int16_scale():
+    """Regression: a STRONG long-FST4 burst through the production
+    ``decode()`` path (int16 peak-scaled upload).  Long frames at int16
+    scale put per-bin energies near 1e18; the squares summed inside the
+    LLR variance overflowed float32 (inf std -> zero LLRs), silently
+    dropping any FST4W-900/1800 signal above ~+30 dB — found when the
+    multichip dryrun first injected a real signal."""
+    rng = np.random.default_rng(3)
+    win = fst4.synthesize("K1ABC FN42 30", Mode.FST4W_900, 1500.0,
+                          start_s=1.0)
+    noisy = add_noise_at_snr(win, 25.0, 12000, rng)
+    res = fst4.FST4Decoder(Mode.FST4W_900).decode(noisy[None])[0]
+    assert any(r.message == "K1ABC FN42 30" for r in res), res
+
+
 def test_fst4_noise_rejection():
     dec = fst4.FST4Decoder(Mode.FST4_60, top_k=16, bp_iters=20)
     rng = np.random.default_rng(2)
