@@ -561,6 +561,30 @@ class WSPRDecoder:
         results = []
         n_osd = out["osd_bits"].shape[1] if "osd_bits" in out else 0
 
+        # Single-bit hill-climb polish: the fixed-width beam occasionally
+        # commits an early trellis error and lands on a near-codeword (a
+        # 1-2 message-bit miss that still unpacks, e.g. a wrong power
+        # field).  The code is linear, so each message-bit flip XORs a
+        # precomputed 162-bit pattern into the codeword; one [50,162]
+        # matvec scores all flips and the climb takes the best until no
+        # flip improves the LLR correlation.  At easy SNR this recovers
+        # any 1-bit miss by construction (the true codeword correlates
+        # strictly higher), at the cost of 4 matvecs per candidate.
+        flip_pat = _code_matrices()[0].astype(np.float64)   # [50, 162]
+
+        def polish(bits: np.ndarray, llr: np.ndarray) -> np.ndarray:
+            best = np.asarray(bits, np.uint8).copy()
+            coded_signs = 1.0 - 2.0 * conv_encode(best).astype(np.float64)
+            for _ in range(4):
+                # delta_i = -2 * sum_j pat[i,j] * coded_signs_j * llr_j
+                d = -2.0 * (flip_pat @ (coded_signs * llr))
+                i = int(np.argmax(d))
+                if d[i] <= 1e-12:
+                    break
+                best[i] ^= 1
+                coded_signs = 1.0 - 2.0 * conv_encode(best).astype(np.float64)
+            return best
+
         def accept(score: float, llr: np.ndarray, coded: np.ndarray) -> bool:
             # Validation gates (WSPR has no CRC; wsprd gates on sync +
             # unpack sanity).  Two-tier boundary, calibrated on the
@@ -589,6 +613,7 @@ class WSPRDecoder:
                 llr = out["llr"][wi, k].reshape(162)
                 r = None
                 for bits in cand_bits:
+                    bits = polish(bits, llr)
                     try:
                         call, grid, dbm = unpack_message(bits)
                     except ValueError:

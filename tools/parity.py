@@ -107,7 +107,10 @@ def random_grid(rng: np.random.Generator) -> str:
 
 
 def random_power(rng: np.random.Generator) -> int:
-    return int(rng.integers(0, 7)) * 10 + int(rng.choice([0, 3, 7]))
+    """Legal WSPR power: 0..57 dBm ending in 0/3/7 (the packer clamps at
+    60, so 6x values can never round-trip — a 67 here cost the -20 dB
+    sweep a phantom recall failure)."""
+    return int(rng.integers(0, 6)) * 10 + int(rng.choice([0, 3, 7]))
 
 
 def make_trial(mode: str, rng: np.random.Generator,
