@@ -172,6 +172,35 @@ def _bench_mode_decode(mode: str, batch: int = 8, snr_db: float = -10.0,
     return (time.perf_counter() - t0) / reps / batch
 
 
+def _bench_qary_host_fraction(mode: str, batch: int = 8) -> float:
+    """Host-side share of a q-ary mode's decode wall time.
+
+    JT65/Q65 run their RS/QRA FEC on the host (native/rs_ft.cpp +
+    modes/qary_engine.py); at high channel counts the host could become
+    the bottleneck, so the bench records what fraction of the decode is
+    host work (total decode() minus the device decode_arrays part)."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import parity
+
+    from cwsl_digi_tpu.modes.base import get_decoder
+    from cwsl_digi_tpu.modes.gfsk import add_noise_at_snr
+
+    rng = np.random.default_rng(13)
+    cfg = parity.SWEEPS[mode]
+    dec = get_decoder(mode)
+    wins = np.stack([add_noise_at_snr(
+        parity.make_trial(mode, rng, cfg["f0"], cfg["dt"])[0],
+        -10.0, 12_000, rng) for _ in range(batch)])
+    dec.decode(wins)                                      # compile + warm
+    t0 = time.perf_counter()
+    dec.decode_arrays(wins)
+    dev = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dec.decode(wins)
+    tot = time.perf_counter() - t0
+    return max(0.0, round(1.0 - dev / max(tot, 1e-9), 3))
+
+
 def _mixed_mode_channels(t_chan: float, s_per_window: dict) -> int:
     """Real-time channels/chip for the reference's template mix.
 
@@ -299,6 +328,7 @@ def main() -> None:
     for mode in MEASURED_MODES:
         s_per_window[mode] = round(_bench_mode_decode(mode), 5)
     mixed = _mixed_mode_channels(t_chan[best_chan], s_per_window)
+    host_frac = {m: _bench_qary_host_fraction(m) for m in ("JT65", "Q65-30")}
     scaling = _bench_scaling_cpu8()
 
     # per-channel budget each T/R period: channelize 15 s + decode 1 window
@@ -325,6 +355,7 @@ def main() -> None:
             # (config.ini:45-145); long FST4 costs modeled from FST4-120
             # by sample ratio
             "mixed_mode_channels_per_chip": mixed,
+            "qary_host_fraction": host_frac,
             "parity_thresholds": _parity_summary(),
             "skim_scaling_cpu_8dev": scaling,
         },

@@ -68,19 +68,19 @@ SWEEPS: dict[str, dict] = {
                     f0=(910.0, 1090.0), dt=(0.5, 1.5)),
     "FST4-120": dict(snrs=(-23, -25, -26, -27, -28, -29),
                      f0=(910.0, 1090.0), dt=(0.5, 1.5), max_trials=50),
-    "FST4-300": dict(snrs=(-26, -28, -30, -31, -32),
+    "FST4-300": dict(snrs=(-28, -30, -32, -33, -34),
                      f0=(710.0, 1090.0), dt=(0.5, 1.5), max_trials=24),
-    "FST4-900": dict(snrs=(-31, -33, -35, -36, -37),
+    "FST4-900": dict(snrs=(-33, -35, -37, -38, -39),
                      f0=(910.0, 1090.0), dt=(0.5, 1.5), max_trials=12),
-    "FST4-1800": dict(snrs=(-34, -36, -38, -39, -40),
+    "FST4-1800": dict(snrs=(-36, -38, -40, -41, -42),
                       f0=(910.0, 1090.0), dt=(0.5, 1.5), max_trials=8),
     "FST4W-120": dict(snrs=(-24, -27, -29, -30, -31, -32),
                       f0=(1430.0, 1570.0), dt=(0.5, 1.5)),
-    "FST4W-300": dict(snrs=(-26, -28, -30, -31, -32),
+    "FST4W-300": dict(snrs=(-28, -30, -32, -33, -34),
                       f0=(1430.0, 1570.0), dt=(0.5, 1.5), max_trials=24),
-    "FST4W-900": dict(snrs=(-31, -33, -35, -36, -37),
+    "FST4W-900": dict(snrs=(-33, -35, -37, -38, -39),
                       f0=(1430.0, 1570.0), dt=(0.5, 1.5), max_trials=12),
-    "FST4W-1800": dict(snrs=(-34, -36, -38, -39, -40),
+    "FST4W-1800": dict(snrs=(-36, -38, -40, -41, -42),
                        f0=(1430.0, 1570.0), dt=(0.5, 1.5), max_trials=8),
     "JS8": dict(snrs=(-12, -16, -18, -20, -21),
                 f0=(600.0, 2400.0), dt=(0.2, 0.8)),
@@ -330,6 +330,9 @@ def main() -> None:
     ap.add_argument("--fixtures", action="store_true",
                     help="regenerate tests/fixtures/ and exit")
     ap.add_argument("--no-crowded", action="store_true")
+    ap.add_argument("--merge", action="store_true",
+                    help="update only the swept modes inside an existing "
+                         "--out report (patch sweeps)")
     ap.add_argument("--out", default="PARITY_REPORT.json")
     args = ap.parse_args()
 
@@ -345,6 +348,9 @@ def main() -> None:
     trials = 8 if args.quick else args.trials
     report: dict = {"platform": jax.devices()[0].platform,
                     "trials": trials, "modes": {}}
+    if args.merge and Path(args.out).exists():
+        report = json.loads(Path(args.out).read_text())
+        report["platform"] = jax.devices()[0].platform
     for mode in modes:
         print(f"== {mode} ==", flush=True)
         snrs = SWEEPS[mode]["snrs"][-3:] if args.quick else None
