@@ -227,6 +227,9 @@ def _parity_summary() -> dict | None:
     path = os.path.join(REPO, "PARITY_REPORT.json")
     if not os.path.exists(path):
         return None
+    # practical WSJT-X limits as quoted in tools/parity.py; the FST4W-120
+    # figure is the least certain recall (FST4-120 shares its waveform and
+    # is usually quoted ~5 dB higher)
     targets = {"FT8": -21.0, "FT4": -17.5, "WSPR": -31.0, "JT65": -24.0,
                "Q65-30": -26.0, "FST4-60": -24.5, "FST4W-120": -32.0}
     with open(path) as f:
