@@ -109,3 +109,31 @@ def test_osd_fallback_recovers_true_bits(decoder):
     assert n_osd > 0
     assert any(np.array_equal(out["osd_bits"][0, k], true_bits)
                for k in range(n_osd))
+
+
+def test_deep_snr_recall_floor_minus28():
+    """CI anchor for the calibrated operating point (WSPR_CALIBRATION.json):
+    randomized trials at -28 dB must keep >=6/8 recall with the default
+    beam width (wsprcycles=3000 analogue).  The calibration sweep showed
+    recall is flat across beam widths 256-1024, so a regression here means
+    demod/gates, not search effort."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import parity
+
+    from cwsl_digi_tpu.modes import wspr as m
+    from cwsl_digi_tpu.modes.gfsk import add_noise_at_snr
+
+    rng = np.random.default_rng(28)
+    cfg = parity.SWEEPS["WSPR"]
+    dec = m.WSPRDecoder()
+    wins, wants = [], []
+    for _ in range(8):
+        clean, want = parity.make_trial("WSPR", rng, cfg["f0"], cfg["dt"])
+        wins.append(add_noise_at_snr(clean, -28.0, 12000, rng))
+        wants.append(want)
+    res = dec.decode(np.stack(wins))
+    ok = sum(w in [r.message for r in rl] for w, rl in zip(wants, res))
+    assert ok >= 6, f"-28 dB recall regression: {ok}/8"
