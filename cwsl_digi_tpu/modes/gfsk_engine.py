@@ -31,7 +31,11 @@ from cwsl_digi_tpu.modes.ldpc import BPDecoder, Code
 
 
 # device-memory budget per decode program call (two spectrograms + the
-# complex rfft intermediate); sized for ~16 GB HBM with headroom
+# complex rfft intermediate); sized for ~16 GB HBM with headroom.
+# Measured (v5e): the resulting FT8 chunk of 24 windows runs 27.1
+# ms/window; doubling the budget to 8 GB (chunk 49) measured WORSE
+# (34.2 ms/window — HBM pressure beats dispatch amortization), so the
+# 4 GB budget is the calibrated operating point, not a guess.
 DEVICE_BYTES_BUDGET = 4_000_000_000
 
 

@@ -118,7 +118,15 @@ class App:
             return get_decoder(mode)
 
         self.pool = DecoderPool(
-            num_workers=cfg.num_decode_slots(),
+            # The reference's heuristic sizes OS processes (one jt9 per ~5
+            # channels, CWSL_DIGI.cpp:856-868); here a job is one batched
+            # device call for ALL channels of a (mode, window), so workers
+            # only pipeline host work against the single device — beyond a
+            # handful they are pure GIL/scheduler churn (measured in the
+            # 512-channel live soak: ~100 threads inflated decode walls
+            # ~3x).  The config heuristic still feeds capacity-planning
+            # parity; the pool clamps it to the useful range.
+            num_workers=min(cfg.num_decode_slots(), 4),
             max_long_workers=max(1, cfg.max_long_slots()),
             max_data_age_factor=float(cfg.get("wsjtx", "maxdataage")),
             on_result=self._on_result,

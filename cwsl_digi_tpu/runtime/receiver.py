@@ -303,27 +303,62 @@ class Receiver:
             return (n, self._wall()) if n else None
         return self._ring.stamp()
 
+    # Aggregate ring blocks into super-blocks of about this many seconds
+    # before each channelizer device call.  Sources deliver ~0.25 s blocks
+    # (the CWSL block cadence); calling the device per source block costs
+    # a dispatch round trip each (expensive over high-latency transports,
+    # and dozens of tiny launches even on PCIe), and a backlog after a GC
+    # or decode stall is drained in large batches instead of block by
+    # block.  Bounded so a window-close decision is at most this late.
+    CHANNELIZE_CHUNK_S = 2.0
+
+    def _next_block_nowait(self):
+        if self._pump is not None:
+            return self._native_ring.pop(self._native_reader, timeout=0.0)
+        return self._ring.pop(timeout=0.0)
+
     def _run(self) -> None:
         if self.align_live:
             delay = self.utc_anchor - self._wall()
             if delay > 0:
                 self._drop_remaining = int(delay * self.source.sample_rate)
         try:
-            while not self._terminate.is_set():
+            eof = False
+            while not self._terminate.is_set() and not eof:
                 block = self._next_block()
                 if block is None:
                     continue
                 if block is _EOF:
-                    self.status = Status.FINISHED
-                    self._flush_partials()
-                    return
-                if self._drop_remaining > 0:
-                    n = min(self._drop_remaining, len(block))
-                    self._drop_remaining -= n
-                    block = block[n:]
-                    if len(block) == 0:
-                        continue
-                self.process_iq(block)
+                    eof = True
+                    block = None
+                else:
+                    # greedy drain: batch every already-available block
+                    # into ONE channelizer call (bounded by the chunk cap)
+                    target = int(self.source.sample_rate
+                                 * self.CHANNELIZE_CHUNK_S)
+                    blocks = [block]
+                    agg = len(block)
+                    while agg < target:
+                        more = self._next_block_nowait()
+                        if more is None:
+                            break
+                        if more is _EOF:
+                            eof = True
+                            break
+                        blocks.append(more)
+                        agg += len(more)
+                    block = (np.concatenate(blocks) if len(blocks) > 1
+                             else block)
+                if block is not None:
+                    if self._drop_remaining > 0:
+                        n = min(self._drop_remaining, len(block))
+                        self._drop_remaining -= n
+                        block = block[n:]
+                    if len(block):
+                        self.process_iq(block)
+            if eof:
+                self.status = Status.FINISHED
+                self._flush_partials()
         except Exception as e:
             self.log(f"### receiver error: {e!r}")
             self.status = Status.STOPPED
