@@ -469,7 +469,13 @@ def decode_program(
         e3 = jnp.take_along_axis(
             accf, idx3.reshape(b, -1), axis=1).reshape(b, spec.top_k, 3)
         delta = jnp.argmax(e3, axis=-1).astype(t0.dtype) - 1
-        csym = gather(2 * t0 + delta, f0)
+        # Clamp the refined hop into [0, n_hops_src - 1]: a sync peak at
+        # padded hop 0 with delta=-1 would otherwise wrap tt % os_t_eff to
+        # os_t_eff-1 while dynamic_slice clamps tt // os_t_eff to 0,
+        # silently gathering from the wrong half-hop plane for that edge
+        # candidate.
+        tt_ref = jnp.clip(2 * t0 + delta, 0, n_hops_src - 1)
+        csym = gather(tt_ref, f0)
     else:
         csym = gather(t0, f0)
     abs_bin = (f0 + fmin_bin).astype(jnp.float32)

@@ -273,7 +273,17 @@ def pack_text_frames(text: str) -> list[np.ndarray]:
         while take > 0 and js8_varicode.encode(t[:take], budget=72) is None:
             take -= 1
         if take == 0:       # leading char outside the codebook: 6-bit frame
-            frames.append(pack_payload(t[:12]))
+            # Emit a raw FRAME_TEXT frame directly — routing the chunk back
+            # through pack_payload could reclassify a mid-conversation
+            # fragment that happens to look like "CALL: ..." as a directed/
+            # heartbeat frame, corrupting reassembly.
+            content = t[:12].ljust(12)
+            v = 0
+            for ch in content:
+                v = v * 64 + (VARICODE.index(ch) if ch in VARICODE else 0)
+            frames.append(np.asarray(
+                message77.bits_from_int(FRAME_TEXT, 3)
+                + message77.bits_from_int(v, 72), np.uint8))
             t = t[12:]
             continue
         frames.append(np.asarray(
@@ -296,7 +306,11 @@ def unpack_payload(bits: np.ndarray) -> str | None:
     if ftype == FRAME_TEXT_HUFF:
         from cwsl_digi_tpu.modes import js8_varicode
 
-        return js8_varicode.decode(bits[3:75]).strip()
+        # No strip: the EOT mark already delimits the payload exactly, and
+        # a chunk boundary in a multi-frame conversation may legitimately
+        # fall on a space (pack_text_frames).  Display-layer trimming is
+        # the spot parser's business (classify() strips).
+        return js8_varicode.decode(bits[3:75])
     if ftype == FRAME_DIRECTED:
         c1 = message77.int_from_bits(bits[3:31])
         c2 = message77.int_from_bits(bits[31:59])

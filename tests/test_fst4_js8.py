@@ -154,6 +154,21 @@ def test_js8_multiframe_text_reassembly():
     frames = js8.pack_text_frames(msg)
     assert len(frames) > 1
     assert "".join(js8.unpack_payload(f) for f in frames) == msg
+    # chunk boundaries that land ON a space must survive reassembly
+    # (rare letters shrink the per-frame budget, forcing a split whose
+    # boundary falls between words): 'UUU CCC'-style corruption guard.
+    for msg in ["ZZZZZ QQQQQ XXXXX JJJJJ", "UUU CCC UUU CCC UUU CCC UU",
+                "QQXJ ZZQX JQZX QZJX XQZJ"]:
+        frames = js8.pack_text_frames(msg)
+        if len(frames) > 1:
+            assert "".join(js8.unpack_payload(f) for f in frames) == msg
+    # a fragment resembling a directed message must stay a text frame
+    # (no reclassification inside pack_text_frames' fallback)
+    import numpy as _np
+    frag = "\x01K1ABC: W9XYZ 73"      # leading non-codebook char
+    frames = js8.pack_text_frames(frag)
+    from cwsl_digi_tpu.modes import message77 as _m77
+    assert _m77.int_from_bits(frames[0][:3]) == js8.FRAME_TEXT
 
 
 def test_js8_varicode_override_roundtrip(tmp_path, monkeypatch):
