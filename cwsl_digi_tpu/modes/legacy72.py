@@ -9,9 +9,13 @@ Published structure (K1JT, "The JT65 Communications Protocol", QEX 2005;
 WSJT lib packcall/packgrid/packtext; G4JNT "The WSPR Coding Process"):
 
 * **packcall** (28 bits): 6-char callsign aligned so the 3rd char is the
-  digit; chars drawn from [0-9A-Z ] x [0-9A-Z] x [0-9] x [A-Z ]^3 packed as
-  n = ((((c1*36 + c2)*10 + c3)*27 + c4)*27 + c5)*27 + c6 with letters in the
-  last three positions mapped A..Z -> 1..26, space -> 0.  Values above
+  digit; the legacy character values are '0'-'9' -> 0-9, 'A'-'Z' -> 10-35,
+  space -> 36 (G4JNT "The WSPR Coding Process": "Treating the characters
+  0-9 as values 0-9, A-Z as 10 to 35, and [space] as 36"); packed as
+  n = ((((c1*36 + c2)*10 + c3)*27 + (c4-10))*27 + (c5-10))*27 + (c6-10),
+  i.e. the last three positions map A..Z -> 0..25, space -> 26.  NOTE this
+  is NOT the 77-bit-era convention (FT8's packjt77 alphabets put space
+  FIRST, message77.py) — the legacy codes predate it.  Values above
   NBASE = 37*36*10*27^3 = 262177560 are tokens: CQ = NBASE+1, QRZ = NBASE+2,
   "CQ nnn" = NBASE+3+nnn, and DE = 267796945.
 * **packgrid** (15 bits): 4-char Maidenhead AAnn ->
@@ -32,10 +36,15 @@ NBASE = 37 * 36 * 10 * 27 * 27 * 27          # 262_177_560
 NGBASE = 180 * 180                           # 32_400
 DE_TOKEN = 267_796_945
 
-_A1 = " 0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"   # 37 (first char)
+# Legacy (pre-77-bit) character values: digits first, SPACE LAST — the
+# G4JNT/packjt convention (digit->0-9, letter->10-35, space->36; trailing
+# positions subtract 10 so A->0..Z->25, space->26).  Round-4 used the
+# 77-bit space-first alphabets here by mistake; that round-tripped
+# internally but would mis-decode every real on-air JT65/WSPR callsign.
+_A1 = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ "   # 37 (first char, space=36)
 _A2 = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"    # 36
 _A3 = "0123456789"                              # 10
-_A4 = " ABCDEFGHIJKLMNOPQRSTUVWXYZ"             # 27 (space=0, A=1..Z=26)
+_A4 = "ABCDEFGHIJKLMNOPQRSTUVWXYZ "             # 27 (A=0..Z=25, space=26)
 TEXT_ALPHABET = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ +-./?"  # 42
 
 
