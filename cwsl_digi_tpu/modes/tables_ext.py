@@ -162,8 +162,10 @@ def js8_varicode() -> dict[str, str] | None:
     """JS8Call huffman codebook from ``js8_varicode.txt``, or None.
 
     One pair per line: ``<token> <bits>`` where ``SP`` is the space
-    character, ``EOT`` the end-of-transmission mark, anything else a
-    literal single character.  Validated prefix-free before acceptance.
+    character, ``EOT`` the end-of-transmission mark, ``HASH`` the ``#``
+    character (a bare ``#`` would read as a comment), anything else a
+    literal single character.  Comment lines start with ``#``.
+    Validated prefix-free before acceptance.
     """
     d = tables_dir()
     if d is None:
@@ -175,14 +177,14 @@ def js8_varicode() -> dict[str, str] | None:
 
     table: dict[str, str] = {}
     for line in p.read_text().splitlines():
-        line = line.split("#", 1)[0].strip()
-        if not line:
+        line = line.strip()
+        if not line or line.startswith("#"):
             continue
         parts = line.split()
         if len(parts) != 2:
             raise ValueError(f"js8_varicode.txt: bad line {line!r}")
         tok, bits = parts
-        ch = {"SP": " ", "EOT": EOT}.get(tok, tok)
+        ch = {"SP": " ", "EOT": EOT, "HASH": "#"}.get(tok, tok)
         if len(ch) != 1:
             raise ValueError(f"js8_varicode.txt: bad token {tok!r}")
         table[ch.upper() if ch.isalpha() else ch] = bits
