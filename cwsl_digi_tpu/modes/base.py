@@ -62,6 +62,45 @@ def get_decoder(mode: Mode | str, **kwargs) -> "ModeDecoder":
     return _REGISTRY[key]
 
 
+def warmup_window(mode: Mode | str) -> "np.ndarray":
+    """One capture window holding a strong protocol-exact signal.
+
+    Decoding it during app warmup compiles EVERY decode-path program: the
+    depth-2 residual pass, the device subtraction scan, and OSD only
+    compile once a pass-1 decode succeeds, so warming up on silence (as
+    round 4 did) left 60+ s compiles to fire inside the first live
+    windows that carried signals."""
+    import numpy as np  # noqa: F811
+
+    mode = Mode(mode)
+    text = "K1ABC W9XYZ EN37"
+    if mode == Mode.FT8:
+        from cwsl_digi_tpu.modes import ft8
+        return ft8.synthesize(text)
+    if mode == Mode.FT4:
+        from cwsl_digi_tpu.modes import ft4
+        return ft4.synthesize(text)
+    if mode == Mode.JS8:
+        from cwsl_digi_tpu.modes import js8
+        return js8.synthesize("HELLO WORLD")
+    if mode == Mode.JT65:
+        from cwsl_digi_tpu.modes import jt65
+        return jt65.synthesize(text)
+    if mode == Mode.Q65_30:
+        from cwsl_digi_tpu.modes import q65
+        return q65.synthesize(text)
+    if mode == Mode.WSPR:
+        from cwsl_digi_tpu.modes import wspr
+        return wspr.synthesize("K1ABC", "FN42", 37)
+    from cwsl_digi_tpu.constants import is_mode_fst4, is_mode_fst4w
+
+    if is_mode_fst4(mode) or is_mode_fst4w(mode):
+        from cwsl_digi_tpu.modes import fst4
+        return fst4.synthesize(
+            "K1ABC FN42 30" if is_mode_fst4w(mode) else text, mode)
+    raise NotImplementedError(f"no warmup signal for {mode}")
+
+
 def _construct(mode: Mode, **kwargs):
     if mode == Mode.FT8:
         from cwsl_digi_tpu.modes.ft8 import FT8Decoder

@@ -213,7 +213,8 @@ class App:
             except Exception as e:
                 self.printer.err(f"cannot open source {spec}: {e}")
                 continue
-            live = spec.startswith(("shm:", "tcp:"))
+            live = spec.startswith(("shm:", "tcp:")) or getattr(
+                src, "live", False)
             try:
                 rx = Receiver(src, lines, self.pool, utc_anchor=utc_anchor,
                               log=self.printer.print, line_indices=idxs,
@@ -255,11 +256,24 @@ class App:
                 m = self.cfg.decoders[i].mode
                 counts[m] = counts.get(m, 0) + 1
             shapes.update(counts.items())
+        from cwsl_digi_tpu.modes.base import warmup_window
+
         for mode, n_ch in sorted(shapes, key=lambda kv: (kv[0].value, kv[1])):
             t0 = time.monotonic()
             dec = self.pool._decoder_factory(mode)
             n = int(get_rx_period(mode) * WAVE_SR)
-            dec.decode(np.zeros((n_ch, n), np.float32))
+            # one channel carries a strong signal: a successful pass-1
+            # decode is what triggers the pass-2 / subtraction / OSD
+            # program compiles — warming up on silence left them to fire
+            # inside the first live window that carried a signal
+            batch = np.zeros((n_ch, n), np.float32)
+            try:
+                w = warmup_window(mode)
+                m = min(len(w), n)
+                batch[0, :m] = w[:m]
+            except NotImplementedError:
+                pass
+            dec.decode(batch)
             self.printer.info(
                 f"warmup: {mode.value} x{n_ch} decode program compiled in "
                 f"{time.monotonic() - t0:.0f} s"

@@ -33,10 +33,13 @@ from __future__ import annotations
 
 import collections
 import enum
+import functools
 import threading
 import time
 from typing import Callable
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from cwsl_digi_tpu.config import DecoderLine
@@ -56,6 +59,40 @@ class Status(enum.Enum):
 
 
 _EOF = object()   # end-of-stream sentinel between ingest and channelize
+
+
+# --- device-side window framing programs -----------------------------------
+# Audio stays on device from channelizer to decoder: the round-4 pipeline
+# fetched every channelized chunk to the host (np.asarray) and the decoder
+# re-uploaded each framed window — ~4.6 s of wire per 512-channel FT8
+# window over a 40 MB/s tunnel, the dominant term in SOAK.json's missed
+# deadlines.  Framing is three tiny fixed-shape programs over a per-mode
+# device buffer [C_m, N_m + 2*G] (G = audio samples per channelize chunk),
+# with all bookkeeping (write cursor, skip, carry) host-side integers
+# passed as traced scalars so nothing recompiles.
+
+@jax.jit
+def _framer_write(buf, chunk, rows, w, off):
+    """Write chunk[rows, off:] at buf[:, w:]; the zero tail past the valid
+    samples is overwritten by the next chunk."""
+    sel = jnp.take(chunk, rows, axis=0)
+    padded = jnp.concatenate([sel, jnp.zeros_like(sel)], axis=1)
+    shifted = jax.lax.dynamic_slice(padded, (0, off), sel.shape)
+    return jax.lax.dynamic_update_slice(buf, shifted, (0, w))
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _framer_rotate(buf, start, g2):
+    """Move buf[:, start:start+g2] to the front (leftover + carry)."""
+    head = jax.lax.dynamic_slice(buf, (0, start), (buf.shape[0], g2))
+    return jax.lax.dynamic_update_slice(buf, head, (0, 0))
+
+
+@jax.jit
+def _framer_zero_tail(buf, w):
+    """Zero everything at/after the write cursor (end-of-stream flush)."""
+    mask = jnp.arange(buf.shape[1]) < w
+    return jnp.where(mask[None, :], buf, 0.0)
 
 
 class _IngestRing:
@@ -177,11 +214,20 @@ class Receiver:
         self._mode_rows: dict[Mode, list[int]] = {}
         for i, line in enumerate(lines):
             self._mode_rows.setdefault(line.mode, []).append(i)
-        # per-mode assembly buffers [C_mode, window_samples].  Each mode's
-        # windows must start on ITS OWN period boundary (the reference's
-        # per-cadence sync threads, CWSL_DIGI.cpp:174-451): audio before the
-        # first boundary of T_m at/after utc_anchor is skipped per mode.
-        self._buffers: dict[Mode, np.ndarray] = {}
+        # fixed channelize chunk: IQ in multiples of the tone sub-block so
+        # the channelizer and the framing programs each compile exactly once
+        self._g_iq = max(self._sub_gran,
+                         int(round(self.CHANNELIZE_CHUNK_S * fs
+                                   / self._sub_gran)) * self._sub_gran)
+        self._g_a = self._g_iq // self.chan.spec.decimation
+        # per-mode DEVICE assembly buffers [C_mode, window + 2*chunk slack].
+        # Each mode's windows must start on ITS OWN period boundary (the
+        # reference's per-cadence sync threads, CWSL_DIGI.cpp:174-451):
+        # audio before the first boundary of T_m at/after utc_anchor is
+        # skipped per mode.
+        self._dev_buf: dict[Mode, jax.Array] = {}
+        self._rows_dev: dict[Mode, jax.Array] = {}
+        self._win_len: dict[Mode, int] = {}
         self._written: dict[Mode, int] = {}
         self._window_index: dict[Mode, int] = {}
         self._skip: dict[Mode, int] = {}
@@ -189,18 +235,27 @@ class Receiver:
         for mode, rows in self._mode_rows.items():
             trp = get_rx_period(mode)
             n = int(round(trp * WAVE_SR))
-            self._buffers[mode] = np.zeros((len(rows), n), np.float32)
+            self._win_len[mode] = n
+            self._dev_buf[mode] = jnp.zeros(
+                (len(rows), n + 2 * self._g_a), jnp.float32)
+            self._rows_dev[mode] = jnp.asarray(rows, jnp.int32)
             self._written[mode] = 0
             self._window_index[mode] = 0
             k = int(np.ceil((utc_anchor - 1e-6) / trp))
             boundary = max(k, 0) * trp
             self._epoch0[mode] = boundary
             self._skip[mode] = int(round((boundary - utc_anchor) * WAVE_SR))
-        self._carry: dict[Mode, np.ndarray | None] = {
-            m: None for m in self._mode_rows}
-        self._iq_leftover = np.zeros(0, np.complex64)
+        self._stage_iq: list[np.ndarray] = []   # blocks awaiting a chunk
+        self._stage_n = 0
         self._dec_ratio = source.sample_rate / WAVE_SR
         self._audio_pos = 0     # audio samples fed to framing so far
+        # stage timing for the soak artifact: where the real-time budget
+        # goes (channelize device wall, window-close lag vs nominal UTC)
+        self.stage = {
+            "channelize_wall_s": 0.0,     # total wall in chan.process
+            "channelized_audio_s": 0.0,   # audio seconds produced
+            "emit_lag": collections.deque(maxlen=4096),  # close lag [s]
+        }
 
     # -- reference API ------------------------------------------------------
 
@@ -303,14 +358,14 @@ class Receiver:
             return (n, self._wall()) if n else None
         return self._ring.stamp()
 
-    # Aggregate ring blocks into super-blocks of about this many seconds
-    # before each channelizer device call.  Sources deliver ~0.25 s blocks
-    # (the CWSL block cadence); calling the device per source block costs
-    # a dispatch round trip each (expensive over high-latency transports,
-    # and dozens of tiny launches even on PCIe), and a backlog after a GC
-    # or decode stall is drained in large batches instead of block by
-    # block.  Bounded so a window-close decision is at most this late.
-    CHANNELIZE_CHUNK_S = 2.0
+    # Fixed channelize chunk length in seconds (rounded to the tone
+    # sub-block).  One fixed size keeps every device program compiled
+    # exactly once; window-close latency is bounded by this value since
+    # staged IQ shorter than a chunk waits for the next block.  Round 4
+    # used 2 s to amortize a host fetch per chunk; device-side framing
+    # removed that fetch, so the chunk can ride the source block cadence
+    # (~0.25 s, the CWSL block rate) — dispatches are async and cheap.
+    CHANNELIZE_CHUNK_S = 0.25
 
     def _next_block_nowait(self):
         if self._pump is not None:
@@ -330,80 +385,103 @@ class Receiver:
                     continue
                 if block is _EOF:
                     eof = True
-                    block = None
-                else:
-                    # greedy drain: batch every already-available block
-                    # into ONE channelizer call (bounded by the chunk cap)
-                    target = int(self.source.sample_rate
-                                 * self.CHANNELIZE_CHUNK_S)
-                    blocks = [block]
-                    agg = len(block)
-                    while agg < target:
-                        more = self._next_block_nowait()
-                        if more is None:
-                            break
-                        if more is _EOF:
-                            eof = True
-                            break
-                        blocks.append(more)
-                        agg += len(more)
-                    block = (np.concatenate(blocks) if len(blocks) > 1
-                             else block)
-                if block is not None:
-                    if self._drop_remaining > 0:
-                        n = min(self._drop_remaining, len(block))
-                        self._drop_remaining -= n
-                        block = block[n:]
-                    if len(block):
-                        self.process_iq(block)
+                    continue
+                if self._drop_remaining > 0:
+                    n = min(self._drop_remaining, len(block))
+                    self._drop_remaining -= n
+                    block = block[n:]
+                if len(block):
+                    self.process_iq(block)
             if eof:
                 self.status = Status.FINISHED
+                self._flush_stream()
                 self._flush_partials()
         except Exception as e:
             self.log(f"### receiver error: {e!r}")
             self.status = Status.STOPPED
 
     def process_iq(self, block: np.ndarray) -> None:
-        """Feed one IQ block (any length); channelize in sub-block units."""
-        iq = np.concatenate([self._iq_leftover, np.asarray(block, np.complex64)])
-        sub = self._sub_gran
-        usable = (len(iq) // sub) * sub
-        self._iq_leftover = iq[usable:]
-        if usable == 0:
-            return
-        audio = np.asarray(self.chan.process(iq[:usable]))  # [C, usable/BS]
-        self._accumulate(audio)
+        """Feed one IQ block (any length); channelize in fixed chunks.
 
-    def _accumulate(self, audio: np.ndarray) -> None:
+        Blocks are staged until a full ``self._g_iq`` chunk is available —
+        a fixed chunk length means the channelizer and the device framing
+        programs each compile once, and a backlog after a stall drains in
+        big batches (the round-4 greedy drain, now implicit)."""
+        self._stage_iq.append(np.asarray(block, np.complex64))
+        self._stage_n += len(block)
+        while self._stage_n >= self._g_iq:
+            iq = (np.concatenate(self._stage_iq) if len(self._stage_iq) > 1
+                  else self._stage_iq[0])
+            rest = iq[self._g_iq:]
+            self._stage_iq = [rest] if len(rest) else []
+            self._stage_n = len(rest)
+            self._process_chunk(iq[: self._g_iq])
+
+    def _flush_stream(self) -> None:
+        """End-of-stream: pad the staged remainder to one chunk."""
+        if self._stage_n == 0:
+            return
+        iq = np.concatenate(self._stage_iq) if len(self._stage_iq) > 1 \
+            else self._stage_iq[0]
+        self._stage_iq = []
+        n_valid_audio = self._stage_n // self.chan.spec.decimation
+        self._stage_n = 0
+        pad = self._g_iq - len(iq)
+        if pad > 0:
+            iq = np.concatenate([iq, np.zeros(pad, np.complex64)])
+        self._process_chunk(iq, valid_audio=n_valid_audio)
+
+    def _process_chunk(self, iq_fixed: np.ndarray,
+                       valid_audio: int | None = None) -> None:
+        t0 = time.monotonic()
+        audio = self.chan.process(iq_fixed)       # [C, G_a], device-resident
+        self.stage["channelize_wall_s"] += time.monotonic() - t0
+        self.stage["channelized_audio_s"] += audio.shape[1] / WAVE_SR
+        self._accumulate(audio, valid=valid_audio)
+
+    def _accumulate(self, audio, valid: int | None = None) -> None:
+        """Frame one channelized chunk into the per-mode device buffers.
+
+        ``audio`` is normally the device-resident [C, G_a] chunk straight
+        from the channelizer; tests may pass arbitrary-length host arrays,
+        which are zero-padded to G_a sub-chunks (the zero tail is never
+        counted as written, so the next write overwrites it)."""
+        if not isinstance(audio, jax.Array) or audio.shape[1] != self._g_a:
+            a = np.asarray(audio, np.float32)
+            for pos in range(0, a.shape[1], self._g_a):
+                piece = a[:, pos : pos + self._g_a]
+                v = piece.shape[1]
+                if v < self._g_a:
+                    piece = np.pad(piece, ((0, 0), (0, self._g_a - v)))
+                self._accumulate(jnp.asarray(piece), valid=v)
+            return
+        v = self._g_a if valid is None else valid
+        if v == 0:
+            return
         chunk_start = self._audio_pos
-        self._audio_pos += audio.shape[1]
-        for mode, rows in self._mode_rows.items():
-            buf = self._buffers[mode]
-            cap = buf.shape[1]
-            data = audio[rows]
-            dropped = 0
-            if self._skip[mode] > 0:
-                dropped = min(self._skip[mode], data.shape[1])
-                self._skip[mode] -= dropped
-                if dropped == data.shape[1]:
-                    continue
-                data = data[:, dropped:]
-            pos = 0
-            while pos < data.shape[1]:
-                w = self._written[mode]
-                n = min(cap - w, data.shape[1] - pos)
-                buf[:, w : w + n] = data[:, pos : pos + n]
-                self._written[mode] = w + n
-                pos += n
-                if self._written[mode] == cap:
-                    self._emit(mode, chunk_start + dropped + pos)
-                    # a fresh skip from re-anchoring applies to the rest
-                    # of this chunk immediately
-                    if self._skip[mode] > 0 and pos < data.shape[1]:
-                        d = min(self._skip[mode], data.shape[1] - pos)
-                        self._skip[mode] -= d
-                        dropped += d
-                        pos += d
+        self._audio_pos += v
+        for mode in self._mode_rows:
+            if self._skip[mode] >= v:
+                self._skip[mode] -= v
+                continue
+            off = self._skip[mode]
+            self._skip[mode] = 0
+            w = self._written[mode]
+            self._dev_buf[mode] = _framer_write(
+                self._dev_buf[mode], audio, self._rows_dev[mode],
+                jnp.int32(w), jnp.int32(off))
+            w += v - off
+            n_m = self._win_len[mode]
+            while w >= n_m:
+                leftover = w - n_m
+                end_abs = chunk_start + v - leftover
+                carry = self._emit(
+                    mode, self._dev_buf[mode][:, :n_m], end_abs)
+                self._dev_buf[mode] = _framer_rotate(
+                    self._dev_buf[mode], jnp.int32(n_m - carry),
+                    2 * self._g_a)
+                w = leftover + carry
+            self._written[mode] = w
 
     # re-anchoring: correct only past this misalignment, and never move a
     # boundary by more than trp/8 at once (jitter guard)
@@ -444,13 +522,17 @@ class Receiver:
                  f" {abs(n)} samples")
         return n
 
-    def _emit(self, mode: Mode, end_pos: int | None = None) -> None:
+    def _emit(self, mode: Mode, window, end_pos: int | None = None) -> int:
+        """Push one framed DEVICE window to the pool; returns the carry
+        (samples of the window tail the next window reuses, when the
+        stream runs slow vs UTC).  A fast stream adds to the skip counter
+        instead (consumed from subsequent chunks)."""
         rows = self._mode_rows[mode]
         k = self._window_index[mode]
         trp = get_rx_period(mode)
         job = DecodeJob(
             mode=mode,
-            audio=self._buffers[mode].copy(),
+            audio=window,
             base_freqs=[self.lines[i].freq for i in rows],
             decoder_indices=[self.line_indices[i] for i in rows],
             # exact window-start epoch; FT4 windows start on half
@@ -460,22 +542,31 @@ class Receiver:
             wspr_callsigns=[self.lines[i].wspr_call for i in rows],
         )
         self.pool.push(job)
-        self._written[mode] = 0
+        if getattr(self.source, "live", False):
+            # window-close lag: how long after the window's nominal UTC
+            # end the framed audio actually left for the pool (framing
+            # slip = ingest + channelize falling behind the cadence)
+            self.stage["emit_lag"].append(
+                round(self._wall() - (job.epoch_time + trp), 3))
         self._window_index[mode] = k + 1
-        if end_pos is not None:
-            n = self._reanchor_samples(mode, end_pos)
-            if n < 0:               # stream fast: drop samples to realign
-                self._skip[mode] += -n
-            elif n > 0:             # stream slow: next window reuses tail
-                cap = self._buffers[mode].shape[1]
-                self._buffers[mode][:, :n] = job.audio[:, cap - n:]
-                self._written[mode] = n
+        if end_pos is None:
+            return 0
+        n = self._reanchor_samples(mode, end_pos)
+        if n < 0:                   # stream fast: drop samples to realign
+            self._skip[mode] += -n
+            return 0
+        # stream slow: next window reuses the tail (bounded by the rotate
+        # program's fixed slack — a correction this size never happens in
+        # one step, REANCHOR clamps at trp/8 and real drift is ms-scale)
+        return min(n, self._g_a)
 
     def _flush_partials(self) -> None:
         """On end-of-stream, emit any window at least half filled (replay
         convenience; the reference simply loses the partial window)."""
         for mode in self._mode_rows:
-            if self._written[mode] >= self._buffers[mode].shape[1] // 2:
-                self._buffers[mode][:, self._written[mode]:] = 0.0
-                self._written[mode] = self._buffers[mode].shape[1]
-                self._emit(mode)
+            n_m = self._win_len[mode]
+            if self._written[mode] >= n_m // 2:
+                buf = _framer_zero_tail(self._dev_buf[mode],
+                                        jnp.int32(self._written[mode]))
+                self._written[mode] = 0
+                self._emit(mode, buf[:, :n_m])

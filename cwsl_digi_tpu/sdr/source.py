@@ -124,7 +124,11 @@ class SyntheticSource:
         self.lo_freq = int(lo_freq)
         self.block_size = int(block_size) or self.sample_rate // 4
         self.noise = noise_amplitude
-        self.live = False       # synthetic never returns None anyway
+        # realtime-paced synthetic streams emulate a live SDR: flagging
+        # them live turns on UTC alignment + per-window re-anchoring in
+        # the Receiver, so soak latency is measured against true wall
+        # cadence (not a stream clock offset by the startup delay)
+        self.live = bool(realtime)
         self._rng = np.random.default_rng(seed)
         self.realtime = realtime
         self._signals: list[tuple[int, np.ndarray]] = []  # (abs start sample, iq)
