@@ -149,8 +149,15 @@ def section_recall(trials: int = 100) -> dict:
             "threshold_db": r["threshold_db"]}
 
 
-def section_mode_decode(mode: str, batch: int = 8, reps: int = 2) -> dict:
-    """Steady-state decode() wall seconds per window for one mode."""
+def section_mode_decode(mode: str, batch: int = 0, reps: int = 2) -> dict:
+    """Steady-state decode() wall seconds per window for one mode.
+
+    Same discipline as the FT8 production section: device-resident
+    windows (the channelizer feeds decode on device in production) and
+    the decoder's FULL device chunk — the operating point of a loaded
+    skimmer.  Round 4 timed these host-fed at batch 8, which billed the
+    tunnel upload and under-amortized fixed per-call overheads to every
+    mode (FT4 read 2.3x its device cost)."""
     import parity
 
     from cwsl_digi_tpu import jaxcache
@@ -162,6 +169,7 @@ def section_mode_decode(mode: str, batch: int = 8, reps: int = 2) -> dict:
     rng = np.random.default_rng(11)
     cfg = parity.SWEEPS[mode]
     dec = get_decoder(mode)
+    batch = batch or min(getattr(dec, "max_device_batch", 8), 24)
     batches = []
     for _ in range(reps + 1):
         wins = [add_noise_at_snr(
@@ -169,12 +177,21 @@ def section_mode_decode(mode: str, batch: int = 8, reps: int = 2) -> dict:
             -10.0, 12_000, rng) for _ in range(batch)]
         batches.append(np.stack(wins))
     dec.decode(batches[0])                                # compile + warm
+    from cwsl_digi_tpu.modes.gfsk_engine import GFSKDecoder
+
+    # device-feed only decoders whose decode path is device-native; the
+    # q-ary/WSPR hosts-side stages np.asarray their input, so a device
+    # array would add a fetch instead of removing an upload
+    if isinstance(dec, GFSKDecoder):
+        batches = [_upload_int16(b) for b in batches[1:]]
+    else:
+        batches = batches[1:]
     ts = []
-    for i in range(reps):
+    for d in batches:
         t0 = time.perf_counter()
-        dec.decode(batches[1 + i])
+        dec.decode(d)
         ts.append(time.perf_counter() - t0)
-    return {"s_per_window": min(ts) / batch}
+    return {"s_per_window": min(ts) / batch, "batch": batch}
 
 
 def section_qary_host_fraction(mode: str, batch: int = 8) -> dict:
