@@ -134,6 +134,13 @@ def make_spec(mode: Mode) -> ModeSpec:
         os_f=4 if fine else 2,
         osd_j=24,
         bt=1.0,
+        # sync-pair frequency-residual correction: the slow bauds lose
+        # ~0.8 rad/symbol of coherence to the +-bin/2 grid residual
+        # (see ModeSpec.refine_freq); measured FST4W-120 below
+        refine_freq=True,
+        # 4-symbol coherent windows: T^4 = 256 combos at 4-FSK (cheap);
+        # the long-symbol modes are exactly where longer coherence pays
+        coh4=True,
     )
 
 

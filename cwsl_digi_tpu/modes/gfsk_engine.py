@@ -93,6 +93,17 @@ class ModeSpec:
     # (measured FT8: 59% -> ~88% recall at -21 dB) for ~1.1x decode time,
     # where a globally finer grid (os_t/os_f doubled) costs 4x.
     refine: bool = False
+    # Frequency-only refinement: fold the sync-pair phase estimate of the
+    # sub-bin residual into the coherent combiner WITHOUT the half-hop
+    # spectrogram (no extra memory/compute).  Matters most for the slow
+    # modes: at FST4W's baud a +-bin/2 residual is +-spacing/8 -> 0.79 rad
+    # of phase rotation PER SYMBOL, which guts the 2/3-symbol coherent
+    # metrics the engine relies on (cos(0.79) ~ 0.7 per pair term).
+    refine_freq: bool = False
+    # 4-symbol coherent metrics (two sliding windows per data symbol, max
+    # over the 3 unknown neighbors).  T^4 neighbor combos per symbol —
+    # affordable for 4-FSK (256), gated off for 8-FSK throughput modes.
+    coh4: bool = False
 
     @property
     def hop(self) -> int:
@@ -186,10 +197,12 @@ def _multisym_llrs(spec: ModeSpec, csym: jax.Array, rot: jax.Array,
 
     allow_prev = jnp.asarray(neighbor_allowed(data - 1))
     allow_next = jnp.asarray(neighbor_allowed(data + 1))
+    allow_prev2 = jnp.asarray(neighbor_allowed(data - 2))
+    allow_next2 = jnp.asarray(neighbor_allowed(data + 2))
     bit0 = bitmaps < 0.5                          # [bits_per_sym, n_tones]
 
-    # chunk size: bound the 3-symbol cross tensor to ~64 MB
-    tri_bytes = n_data * n_tones ** 3 * 4
+    # chunk size: bound the largest cross tensor to ~64 MB
+    tri_bytes = n_data * n_tones ** (4 if spec.coh4 else 3) * 4
     chunk = int(max(1, min(m_all, 64_000_000 // max(tri_bytes, 1))))
 
     def one_chunk(args):
@@ -232,6 +245,67 @@ def _multisym_llrs(spec: ModeSpec, csym: jax.Array, rot: jax.Array,
             return b0 - b1
 
         l = bit_llrs(e1s) + bit_llrs(e2p) + bit_llrs(e2n) + bit_llrs(e3)
+        if spec.coh4:
+            # two 4-symbol coherent windows per data symbol: [s-1..s+2]
+            # and [s-2..s+1], each maxed over the 3 unknown neighbors.
+            # The slow FST4 bauds reward the longer coherence; the extra
+            # cross tensors reuse the |a+b|^2 expansion.
+            cprev2 = jnp.pad(c, ((0, 0), (2, 2), (0, 0)))[:, data]  # s-2
+            cnext2 = jnp.pad(c, ((0, 0), (2, 2), (0, 0)))[:, data + 4]
+            e1p2 = jnp.abs(cprev2) ** 2
+            e1n2 = jnp.abs(cnext2) ** 2
+            r2_ = r_ * r_
+            r3_ = r2_ * r_
+
+            def cross(a, bb_, rr):                # 2Re(conj(a) rr b)
+                return 2.0 * jnp.real(jnp.conj(a)[:, :, :, None]
+                                      * (rr * bb_[:, :, None, :]))
+
+            x_p_nn = cross(cprev, cnext2, r3_)    # (s-1, s+2)
+            x_s_nn = cross(cs, cnext2, r2_)       # (s,   s+2)
+            x_n_nn = cross(cnext, cnext2, r_)     # (s+1, s+2)
+            x_pp_p = cross(cprev2, cprev, r_)     # (s-2, s-1)
+            x_pp_s = cross(cprev2, cs, r2_)       # (s-2, s)
+            x_pp_n = cross(cprev2, cnext, r3_)    # (s-2, s+1)
+
+            # window [s-1, s, s+1, s+2]: axes (p, self, n, q)
+            w4n = (e1p[:, :, :, None, None, None]
+                   + e1s[:, :, None, :, None, None]
+                   + e1n[:, :, None, None, :, None]
+                   + e1n2[:, :, None, None, None, :]
+                   + x_ps[:, :, :, :, None, None]
+                   + x_pn[:, :, :, None, :, None]
+                   + x_p_nn[:, :, :, None, None, :]
+                   + x_sn[:, :, None, :, :, None]
+                   + x_s_nn[:, :, None, :, None, :]
+                   + x_n_nn[:, :, None, None, :, :])
+            w4n = jnp.where(allow_prev[None, :, :, None, None, None],
+                            w4n, -big)
+            w4n = jnp.where(allow_next[None, :, None, None, :, None],
+                            w4n, -big)
+            w4n = jnp.where(allow_next2[None, :, None, None, None, :],
+                            w4n, -big)
+            e4n = jnp.max(w4n, axis=(2, 4, 5))    # [m, D, T]
+
+            # window [s-2, s-1, s, s+1]: axes (q2, p, self, n)
+            w4p = (e1p2[:, :, :, None, None, None]
+                   + e1p[:, :, None, :, None, None]
+                   + e1s[:, :, None, None, :, None]
+                   + e1n[:, :, None, None, None, :]
+                   + x_pp_p[:, :, :, :, None, None]
+                   + x_pp_s[:, :, :, None, :, None]
+                   + x_pp_n[:, :, :, None, None, :]
+                   + x_ps[:, :, None, :, :, None]
+                   + x_pn[:, :, None, :, None, :]
+                   + x_sn[:, :, None, None, :, :])
+            w4p = jnp.where(allow_prev2[None, :, :, None, None, None],
+                            w4p, -big)
+            w4p = jnp.where(allow_prev[None, :, None, :, None, None],
+                            w4p, -big)
+            w4p = jnp.where(allow_next[None, :, None, None, None, :],
+                            w4p, -big)
+            e4p = jnp.max(w4p, axis=(2, 3, 5))    # [m, D, T]
+            l = l + bit_llrs(e4n) + bit_llrs(e4p)
         return l.reshape(l.shape[0], -1)          # [m, n_bits]
 
     pad = (-m_all) % chunk
@@ -480,7 +554,7 @@ def decode_program(
         csym = gather(t0, f0)
     abs_bin = (f0 + fmin_bin).astype(jnp.float32)
     rot = jnp.exp(-2j * jnp.pi * abs_bin / spec.os_f)            # [B, K]
-    if refine:
+    if refine or spec.refine_freq:
         # Frequency: the sub-bin residual df shows up as a common extra
         # phase rotation 2*pi*df*T_sym between consecutive symbols.
         # Estimate it from consecutive SYNC-cell pairs (known tones) —
