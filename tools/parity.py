@@ -71,17 +71,17 @@ SWEEPS: dict[str, dict] = {
     "FST4-300": dict(snrs=(-28, -30, -32, -33, -34),
                      f0=(710.0, 1090.0), dt=(0.5, 1.5), max_trials=24),
     "FST4-900": dict(snrs=(-33, -35, -37, -38, -39),
-                     f0=(910.0, 1090.0), dt=(0.5, 1.5), max_trials=12),
+                     f0=(910.0, 1090.0), dt=(0.5, 1.5), max_trials=24),
     "FST4-1800": dict(snrs=(-36, -38, -40, -41, -42),
-                      f0=(910.0, 1090.0), dt=(0.5, 1.5), max_trials=8),
+                      f0=(910.0, 1090.0), dt=(0.5, 1.5), max_trials=24),
     "FST4W-120": dict(snrs=(-24, -27, -29, -30, -31, -32),
                       f0=(1430.0, 1570.0), dt=(0.5, 1.5)),
     "FST4W-300": dict(snrs=(-28, -30, -32, -33, -34),
                       f0=(1430.0, 1570.0), dt=(0.5, 1.5), max_trials=24),
     "FST4W-900": dict(snrs=(-33, -35, -37, -38, -39),
-                      f0=(1430.0, 1570.0), dt=(0.5, 1.5), max_trials=12),
+                      f0=(1430.0, 1570.0), dt=(0.5, 1.5), max_trials=24),
     "FST4W-1800": dict(snrs=(-36, -38, -40, -41, -42),
-                       f0=(1430.0, 1570.0), dt=(0.5, 1.5), max_trials=8),
+                       f0=(1430.0, 1570.0), dt=(0.5, 1.5), max_trials=24),
     "JS8": dict(snrs=(-12, -16, -18, -20, -21),
                 f0=(600.0, 2400.0), dt=(0.2, 0.8)),
 }
@@ -197,9 +197,15 @@ def sweep_mode(mode: str, trials: int, seed: int = 42,
         print(f"  {mode}: {false_n} FALSE decodes on {n_noise} noise windows",
               flush=True)
 
+    # 95% binomial CI half-width per recall point (VERDICT r4 weak #6:
+    # quote thresholds with stated confidence, not as bare numbers)
+    ci95 = {s_: round(1.96 * float(np.sqrt(max(r * (1 - r), 0.25 / trials)
+                                           / trials)), 3)
+            for s_, r in recall.items()}
     return {
         "trials": trials,
         "recall": recall,
+        "recall_ci95": ci95,
         "false_per_noise_window": false_n / n_noise,
         "threshold_db": _threshold(recall),
     }
