@@ -227,6 +227,18 @@ class App:
                 self.printer.err(f"cannot attach decoders to {spec}: {e}")
                 src.close()
                 continue
+            # compile the channelize/framing programs FIRST, then take the
+            # anchor: compiling after anchoring would eat into the first
+            # capture windows (measured 13-24 s first-batch stalls in the
+            # 256-channel soak before this ordering)
+            t0 = time.monotonic()
+            rx.warm()
+            dt_warm = time.monotonic() - t0
+            if dt_warm > 1.0:
+                self.printer.info(
+                    f"receiver programs compiled in {dt_warm:.0f} s")
+            if live:
+                rx.set_anchor(next_period_boundary(15.0))
             rx.init()
             self.receivers[spec] = rx
             self.printer.info(

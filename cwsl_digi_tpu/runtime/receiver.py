@@ -259,6 +259,39 @@ class Receiver:
 
     # -- reference API ------------------------------------------------------
 
+    def warm(self) -> None:
+        """Compile the channelize + framing programs before the stream
+        starts.  A first-chunk compile (30-60 s via a remote-compile
+        tunnel) would stall the framing thread and push the first windows
+        past their deadline; run a throwaway zero chunk through every
+        program instead, with the channelizer state restored after."""
+        saved = self.chan.state
+        try:
+            audio = self.chan.process(np.zeros(self._g_iq, np.complex64))
+            for mode in self._mode_rows:
+                buf = _framer_write(self._dev_buf[mode], audio,
+                                    self._rows_dev[mode], jnp.int32(0),
+                                    jnp.int32(0))
+                buf = _framer_rotate(buf, jnp.int32(self._win_len[mode]),
+                                     2 * self._g_a)
+                _framer_zero_tail(buf, jnp.int32(0))
+            np.asarray(audio[0, :1])          # block until compiled
+        finally:
+            self.chan.state = saved
+
+    def set_anchor(self, utc_anchor: float) -> None:
+        """Re-anchor window framing at a new UTC boundary (called after
+        :meth:`warm`, whose compile time would otherwise have consumed
+        the anchor chosen at construction)."""
+        self.utc_anchor = utc_anchor
+        for mode in self._mode_rows:
+            trp = get_rx_period(mode)
+            k = int(np.ceil((utc_anchor - 1e-6) / trp))
+            boundary = max(k, 0) * trp
+            self._epoch0[mode] = boundary
+            self._skip[mode] = int(round((boundary - utc_anchor) * WAVE_SR))
+            self._window_index[mode] = 0
+
     def init(self) -> None:
         self.status = Status.RUNNING
         # native shm source: the intake thread is the C++ pump
