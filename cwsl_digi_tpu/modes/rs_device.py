@@ -276,7 +276,18 @@ def rs_chase_program(nk_fcr: tuple, n_trials: int, n_det: int,
     floor = (e_sum - jnp.sum(top_e, axis=-1)) / (GF_Q - 4)
     e_cw = jnp.where(hit.any(axis=-1), e_top, floor[:, None, :])
     mean_e = (e_sum / n)[:, None, :]
-    score = jnp.mean(jnp.log((e_cw + 1e-30) / (mean_e + 1e-30)), axis=-1)
+    logr = jnp.log((e_cw + 1e-30) / (mean_e + 1e-30))          # [C, T, n]
+    score = jnp.mean(logr, axis=-1)
+    # Erased positions are the INDEPENDENT verification: the RS decoder
+    # never saw them, so for a true codeword they still carry signal
+    # energy while a noise-forced codeword scores ~0 there.  Deep-erasure
+    # trials (f up to n-k-2) can force ANY word into the code, so without
+    # this gate a 256-trial fan-out false-decodes on pure noise
+    # (measured 2/12 windows before the gate, 0 after).
+    n_era = jnp.sum(era, axis=-1).astype(jnp.float32)          # [C, T]
+    s_era = (jnp.sum(logr * era, axis=-1)
+             / jnp.maximum(n_era, 1.0))
+    ok = ok & ((n_era < 8) | (s_era >= 0.6 * accept))
     score = jnp.where(ok, score, -jnp.inf)
 
     best = jnp.argmax(score, axis=1)                         # [C]

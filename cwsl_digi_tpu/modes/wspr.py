@@ -341,12 +341,23 @@ def _decode_program(cfg: WSPRConfig, shapes, audio, sync, deinter, window):
     cbit = stft[bb, sym_hops[:, :, :, None], bins]            # [B,K,162,2] c64
     abs_bin = (f0 + fmin_bin).astype(jnp.float32)
     rot = jnp.exp(-2j * jnp.pi * abs_bin * (SPS / NFFT))      # [B, K]
+    e1 = jnp.abs(cbit) ** 2                                   # [B,K,162,2]
+    # Sub-bin frequency-residual correction (the gfsk_engine refine_freq
+    # analogue): a +-BIN/2 residual rotates up to 1.6 rad PER SYMBOL at
+    # WSPR's 0.68 s symbols, zeroing the coherent pair/triple terms for
+    # off-bin signals.  WSPR has no all-known sync symbols, so estimate
+    # from hard-decision pairs: at threshold ~75% of per-symbol hard bits
+    # are right, and wrong-bit pair products contribute noise, not bias
+    # (tone spacing = baud makes the DFT phase tone-independent).
+    hard = jnp.argmax(e1, axis=-1)                            # [B,K,162]
+    cb = jnp.take_along_axis(cbit, hard[..., None], axis=-1)[..., 0]
+    z = jnp.sum(jnp.conj(cb[:, :, :-1]) * cb[:, :, 1:], axis=-1) * rot
+    rot = rot * jnp.exp(-1j * jnp.angle(z))
     r_ = rot[:, :, None, None, None]
 
     cpad = jnp.pad(cbit, ((0, 0), (0, 0), (1, 1), (0, 0)))
     cprev = cpad[:, :, :NSYM]                                 # symbol s-1
     cnext = cpad[:, :, 2:]                                    # symbol s+1
-    e1 = jnp.abs(cbit) ** 2                                   # [B,K,162,2]
     e1p = jnp.abs(cprev) ** 2
     e1n = jnp.abs(cnext) ** 2
     # cross terms [B,K,162,i,j]: i = neighbor bit, j = self bit
@@ -366,7 +377,48 @@ def _decode_program(cfg: WSPRConfig, shapes, audio, sync, deinter, window):
            + x_sn.swapaxes(-1, -2)[..., None, :, :]
            + x_pn[..., :, None, :])
     e3 = jnp.max(tri, axis=(-3, -1))                          # [B,K,162,2]
-    metric_sym = e1 + e2p + e2n + e3
+    # 4-symbol coherent windows (gfsk_engine coh4, specialized): the WSPR
+    # neighbor hypothesis is one data BIT, so each window maxes over only
+    # 2^3 = 8 combos — long coherence nearly free, and WSPR's last dBs
+    # live exactly here (wsprcycles' sensitivity lever, re-based below)
+    cprev2 = jnp.pad(cbit, ((0, 0), (0, 0), (2, 2), (0, 0)))[:, :, :NSYM]
+    cnext2 = jnp.pad(cbit, ((0, 0), (0, 0), (2, 2), (0, 0)))[:, :, 4:]
+    e1p2 = jnp.abs(cprev2) ** 2
+    e1n2 = jnp.abs(cnext2) ** 2
+    r2_ = r_ * r_
+    r3_ = r2_ * r_
+
+    def xterm(a, bb2, rr):                 # 2Re(conj(a) rr b): [..., i, j]
+        return 2.0 * jnp.real(jnp.conj(a)[..., :, None]
+                              * (rr * bb2[..., None, :]))
+
+    x_p_nn = xterm(cprev, cnext2, r3_)
+    x_s_nn = xterm(cbit, cnext2, r2_)
+    x_n_nn = xterm(cnext, cnext2, r_)
+    x_pp_p = xterm(cprev2, cprev, r_)
+    x_pp_s = xterm(cprev2, cbit, r2_)
+    x_pp_n = xterm(cprev2, cnext, r3_)
+    # window [s-1, s, s+1, s+2]: axes (..., p, self, n, q)
+    w4n = (e1p[..., :, None, None, None] + e1[..., None, :, None, None]
+           + e1n[..., None, None, :, None] + e1n2[..., None, None, None, :]
+           + x_ps[..., :, :, None, None]
+           + x_pn[..., :, None, :, None]
+           + x_p_nn[..., :, None, None, :]
+           + x_sn.swapaxes(-1, -2)[..., None, :, :, None]
+           + x_s_nn[..., None, :, None, :]
+           + x_n_nn[..., None, None, :, :])
+    e4n = jnp.max(w4n, axis=(-4, -2, -1))                     # [B,K,162,2]
+    # window [s-2, s-1, s, s+1]: axes (..., q2, p, self, n)
+    w4p = (e1p2[..., :, None, None, None] + e1p[..., None, :, None, None]
+           + e1[..., None, None, :, None] + e1n[..., None, None, None, :]
+           + x_pp_p[..., :, :, None, None]
+           + x_pp_s[..., :, None, :, None]
+           + x_pp_n[..., :, None, None, :]
+           + x_ps[..., None, :, :, None]
+           + x_pn[..., None, :, None, :]
+           + x_sn.swapaxes(-1, -2)[..., None, None, :, :])
+    e4p = jnp.max(w4p, axis=(-4, -3, -1))                     # [B,K,162,2]
+    metric_sym = e1 + e2p + e2n + e3 + e4n + e4p
     llr_sym = metric_sym[..., 0] - metric_sym[..., 1]         # [B, K, 162]
     # per-candidate scale normalization (energies are scale-dependent)
     llr_sym = llr_sym / (jnp.std(llr_sym, axis=-1, keepdims=True) + 1e-20) * 3.0
