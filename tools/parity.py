@@ -181,7 +181,14 @@ def sweep_mode(mode: str, trials: int, seed: int = 42,
             clean, want = make_trial(mode, rng, cfg["f0"], cfg["dt"])
             wins.append(add_noise_at_snr(clean, float(snr), 12000, rng))
             wants.append(want)
-        res = _decoded_messages(dec.decode(np.stack(wins)))
+        # decode in groups: a 1800 s window is 21.6 M samples, and holding
+        # 24 of them device-resident alongside the decode temporaries
+        # overflows HBM (the subtraction pass keeps original + residual)
+        wlen = len(wins[0])
+        group = max(1, min(len(wins), int(2.0e8 // wlen) or 1))
+        res = []
+        for i in range(0, len(wins), group):
+            res += _decoded_messages(dec.decode(np.stack(wins[i:i + group])))
         ok = sum(want in msgs for want, msgs in zip(wants, res))
         recall[f"{float(snr):.1f}"] = ok / trials
         if verbose:
@@ -192,7 +199,11 @@ def sweep_mode(mode: str, trials: int, seed: int = 42,
     n_noise = max(8, trials // 2)
     wlen = len(make_trial(mode, rng, cfg["f0"], cfg["dt"])[0])
     noise = rng.standard_normal((n_noise, wlen)).astype(np.float32)
-    false_n = sum(len(msgs) for msgs in _decoded_messages(dec.decode(noise)))
+    group = max(1, min(n_noise, int(2.0e8 // wlen) or 1))
+    false_n = sum(
+        len(msgs)
+        for i in range(0, n_noise, group)
+        for msgs in _decoded_messages(dec.decode(noise[i:i + group])))
     if verbose and false_n:
         print(f"  {mode}: {false_n} FALSE decodes on {n_noise} noise windows",
               flush=True)
