@@ -947,6 +947,35 @@ class GFSKDecoder:
         return {k: jnp.concatenate([c[k] for c in chunks])
                 for k in chunks[0]}
 
+    def warm_passes(self, n_windows: int, depth: int | None = None) -> None:
+        """Pre-compile every per-pass program arity :meth:`decode` can reach.
+
+        The jitted inter-pass helpers (:func:`_select_and_subtract`,
+        :func:`_merge_and_pack`) take a TUPLE of per-pass outputs, so each
+        distinct number of executed passes is a distinct compiled program —
+        and pass k only executes live when pass k-1 actually decoded
+        something, a condition a single warmup window cannot force for
+        every arity.  Left cold, the first crowded live window pays a
+        mid-cadence XLA compile (measured: a 22 s decode batch in the
+        128-channel soak, 6 missed 15 s deadlines).  Zeros audio is enough:
+        program shape depends only on (n_windows, spec, arity).
+        """
+        depth = depth or self.spec.depth
+        n = int(round(self.spec.trperiod * WAVE_SR))
+        audio = jnp.zeros((n_windows, n), jnp.float32)
+        outs = [self.decode_arrays_device(audio)]
+        if depth > 1:
+            later = self.decode_arrays_device(audio, self._later_pass_spec)
+            for _p in range(1, depth):
+                _select_and_subtract(self.spec, self.SUB_MAX, audio,
+                                     tuple(outs), self._hash_w,
+                                     self._gen_parity_f32)
+                outs.append(later)
+        last = None
+        for k in range(1, len(outs) + 1):
+            last = _merge_and_pack(tuple(outs[:k]))
+        jax.block_until_ready(last)
+
     def decode(self, audio: np.ndarray, depth: int | None = None):
         """Decode with multi-pass signal subtraction.
 

@@ -286,6 +286,11 @@ class App:
             except NotImplementedError:
                 pass
             dec.decode(batch)
+            if hasattr(dec, "warm_passes"):
+                # compile every inter-pass helper arity (tuple-of-outs
+                # jit signatures decode() can reach live; see
+                # GFSKDecoder.warm_passes)
+                dec.warm_passes(n_ch)
             self.printer.info(
                 f"warmup: {mode.value} x{n_ch} decode program compiled in "
                 f"{time.monotonic() - t0:.0f} s"

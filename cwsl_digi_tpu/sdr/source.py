@@ -133,13 +133,20 @@ class SyntheticSource:
         self.realtime = realtime
         self._signals: list[tuple[int, np.ndarray]] = []  # (abs start sample, iq)
         self._pos = 0
-        self._t0 = time.monotonic()
+        # pacing clock starts at the FIRST read, not construction: a real
+        # SDR has no backlog before streaming starts, and construction-time
+        # anchoring let the stream run ahead of wall clock by the
+        # open->init gap (receiver compile), which made soak latencies
+        # negative (stream-time windows closed before their UTC stamps)
+        self._t0: float | None = None
 
     def inject(self, start_sample: int, iq: np.ndarray) -> None:
         """Schedule a complex burst at an absolute sample offset."""
         self._signals.append((int(start_sample), np.asarray(iq, np.complex64)))
 
     def read_block(self, timeout: float = 1.0) -> Optional[np.ndarray]:
+        if self._t0 is None:
+            self._t0 = time.monotonic()
         n = self.block_size
         block = (
             self._rng.standard_normal(n) + 1j * self._rng.standard_normal(n)
