@@ -174,6 +174,7 @@ class Receiver:
         # source/CWSL_DIGI.cpp:174-451)
         self.align_live = align_live
         self._drop_remaining = 0
+        self._dropped_iq = 0        # IQ discarded by the align-to-anchor drop
         self.status = Status.NOT_INITIALIZED
         self._terminate = threading.Event()
         self._thread: threading.Thread | None = None
@@ -422,6 +423,7 @@ class Receiver:
                 if self._drop_remaining > 0:
                     n = min(self._drop_remaining, len(block))
                     self._drop_remaining -= n
+                    self._dropped_iq += n
                     block = block[n:]
                 if len(block):
                     self.process_iq(block)
@@ -536,6 +538,15 @@ class Receiver:
         if stamp is None:
             return 0
         iq_in, wall = stamp
+        # the ingest stamp counts RAW pushed IQ; the align-to-anchor drop
+        # discarded the pre-anchor samples, which exist in the stamp but
+        # not in the framed stream.  Without the correction the estimator
+        # places wall_at_end up to one period in the past, decides the
+        # stream is "early" every window, and skips trp/8 per window until
+        # the framing is misaligned by the whole drop (measured: close lag
+        # growing 0.3 -> 10.8 s over 6 windows in a 64-channel soak, with
+        # every UTC-aligned burst landing undecodable after window 2)
+        iq_in -= self._dropped_iq
         audio_in = iq_in / self._dec_ratio
         if audio_in < end_pos:      # stamp older than this boundary: skip
             return 0

@@ -132,6 +132,7 @@ class SyntheticSource:
         self._rng = np.random.default_rng(seed)
         self.realtime = realtime
         self._signals: list[tuple[int, np.ndarray]] = []  # (abs start sample, iq)
+        self._utc_signals: list[tuple[float, np.ndarray]] = []
         self._pos = 0
         # pacing clock starts at the FIRST read, not construction: a real
         # SDR has no backlog before streaming starts, and construction-time
@@ -144,9 +145,27 @@ class SyntheticSource:
         """Schedule a complex burst at an absolute sample offset."""
         self._signals.append((int(start_sample), np.asarray(iq, np.complex64)))
 
+    def inject_at_utc(self, utc_s: float, iq: np.ndarray) -> None:
+        """Schedule a burst at an absolute UTC time (realtime sources).
+
+        Resolved lazily at the first read: sample position =
+        (utc_s - utc_of_first_sample) * fs.  This is the only alignment a
+        UTC-anchored consumer (Receiver window framing) can rely on — the
+        stream's sample clock starts at an arbitrary wall offset, so
+        sample-indexed injections land at an arbitrary phase within the
+        capture windows.  Bursts whose UTC already passed are clipped.
+        """
+        self._utc_signals.append((float(utc_s), np.asarray(iq, np.complex64)))
+
     def read_block(self, timeout: float = 1.0) -> Optional[np.ndarray]:
         if self._t0 is None:
             self._t0 = time.monotonic()
+            utc0 = time.time()
+            for u, sig in self._utc_signals:
+                start = int(round((u - utc0) * self.sample_rate))
+                if start + len(sig) > 0:
+                    self._signals.append((start, sig))
+            self._utc_signals = []
         n = self.block_size
         block = (
             self._rng.standard_normal(n) + 1j * self._rng.standard_normal(n)

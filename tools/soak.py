@@ -98,7 +98,13 @@ def main() -> None:
         if isinstance(src, SyntheticSource):
             captured["src"] = src
             rng = np.random.default_rng(9)
-            n_periods = args.windows + 3
+            # UTC-anchored bursts: window framing is anchored at UTC 15 s
+            # boundaries, so inject at boundary+dt (dt inside the decoder's
+            # sync search) — sample-indexed injection would land at an
+            # arbitrary phase of the capture window (the stream's sample
+            # clock starts at an arbitrary wall offset)
+            base = (int(time.time() // 15) + 1) * 15.0
+            n_periods = args.windows + 4
             for p in range(n_periods):
                 for b in range(args.bursts):
                     ch = int(rng.integers(0, args.channels))
@@ -108,8 +114,9 @@ def main() -> None:
                     burst = 0.12 * gfsk_modulate_iq(
                         ft8.encode_message(text), f_off,
                         ft8.SPS * fs // 12_000, fs, ft8.TONE_SPACING)
-                    start = int((p * 15.0 + 0.3 + (b % 2) * 7.5) * fs)
-                    src.inject(start, burst.astype(np.complex64))
+                    dt = 0.2 + float(rng.uniform(0.0, 1.0))
+                    src.inject_at_utc(base + p * 15.0 + dt,
+                                      burst.astype(np.complex64))
         return src
 
     app_mod.open_source = spy_open
@@ -134,6 +141,7 @@ def main() -> None:
     warmup_s = time.monotonic() - t0
     print(f"warmup {warmup_s:.0f} s; running...", flush=True)
 
+    run_started = time.time()
     t = threading.Thread(target=app.run, daemon=True)
     t.start()
     t.join(timeout=(args.windows + 4) * 15.0 + 120.0)
@@ -163,7 +171,8 @@ def main() -> None:
             ch_wall / max(ch_audio, 1e-9), 4),
         "window_close_lag_s": {"p50": _pct(emit_lags, 50),
                                "p95": _pct(emit_lags, 95),
-                               "max": _pct(emit_lags, 100)},
+                               "max": _pct(emit_lags, 100),
+                               "series": [round(v, 2) for v in emit_lags]},
         "queue_wait_s": {"p50": _pct([j["queue_wait_s"] for j in jobs], 50),
                          "p95": _pct([j["queue_wait_s"] for j in jobs], 95)},
         "decode_s_per_batch": {
@@ -190,6 +199,8 @@ def main() -> None:
         "deadline_misses": int((lats > ft8.T_R).sum()) if len(lats) else 0,
         "deadline_s": ft8.T_R,
         "stages": stages,
+        "utc_anchor": [rx.utc_anchor for rx in app.receivers.values()],
+        "run_started_utc": round(run_started, 2),
         "warmup_s": round(warmup_s, 1),
         "platform": None,
     }
